@@ -1,0 +1,2 @@
+from . import lie
+from .groups import SE3, SO3, RxSO3, Sim3, stack
