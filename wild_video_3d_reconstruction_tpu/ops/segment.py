@@ -1,0 +1,98 @@
+"""Segment (scatter) operations with static segment counts.
+
+TPU-native replacements for the reference's torch_scatter usage
+(`dpvo/blocks.py:31-67` SoftAgg) and the CPU `fastba.neighbors` index builder
+(`dpvo/fastba/ba.cpp:106-151`). Data-dependent `torch.unique` grouping is
+replaced by bounded integer segment ids + a validity mask, so everything has
+static shapes and stays inside jit (SURVEY.md section 7, "hard parts").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_softmax_weighted_sum(f, g, seg_ids, num_segments, valid=None):
+    """softmax(g) within segments (per channel), weighted sum of f, expanded.
+
+    f, g:     [E, D]
+    seg_ids:  [E] int32 in [0, num_segments)
+    valid:    [E] bool; invalid rows contribute nothing and read back zeros.
+    returns:  [E, D] = segsum(f * softmax_seg(g))[seg_ids]
+
+    This is exactly torch_scatter.scatter_softmax + scatter_sum as used by
+    SoftAgg (`dpvo/blocks.py:40-48`), with the group relabeling
+    (torch.unique return_inverse) replaced by caller-provided bounded ids.
+    The softmax runs in fp32 for stability regardless of the input dtype.
+    """
+    dtype = f.dtype
+    g32 = g.astype(jnp.float32)
+    if valid is not None:
+        g32 = jnp.where(valid[:, None], g32, -jnp.inf)
+    seg_max = jax.ops.segment_max(g32, seg_ids, num_segments=num_segments)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    e = jnp.exp(g32 - seg_max[seg_ids])
+    if valid is not None:
+        e = jnp.where(valid[:, None], e, 0.0)
+    denom = jax.ops.segment_sum(e, seg_ids, num_segments=num_segments)
+    w = e / jnp.maximum(denom[seg_ids], 1e-12)
+    y = jax.ops.segment_sum(f.astype(jnp.float32) * w, seg_ids,
+                            num_segments=num_segments)
+    return y[seg_ids].astype(dtype)
+
+
+def neighbors(kk, jj, valid=None, pad_value=-1):
+    """Previous/next edge indices within each patch group, ordered by jj.
+
+    For every edge e, find the edge with the same patch id kk[e] whose target
+    frame jj immediately precedes / follows jj[e] (insertion order breaking
+    ties). Returns (ix, jx) of shape [E] with -1 where no neighbor exists.
+    Semantics match `fastba.neighbors` (`dpvo/fastba/ba.cpp:106-151`), which
+    feeds the update operator's temporal message passing (`dpvo/net.py:81-86`).
+
+    Implementation: one stable sort over the composite key (valid, kk, jj),
+    then neighbor links between consecutive sorted entries that share kk.
+    Invalid (padded) edges sort to the end and receive -1 links.
+    """
+    E = kk.shape[0]
+    kk = kk.astype(jnp.int32)
+    jj = jj.astype(jnp.int32)
+    if valid is None:
+        valid = jnp.ones((E,), dtype=bool)
+
+    # lexicographic stable sort by (invalid, kk, jj) via cascaded stable
+    # argsorts (avoids int32 overflow of a composite key)
+    order = jnp.argsort(jj, stable=True)
+    order = order[jnp.argsort(kk[order], stable=True)]
+    order = order[jnp.argsort(~valid[order], stable=True)]
+    kk_s = kk[order]
+    valid_s = valid[order]
+
+    idx = jnp.arange(E)
+    same_prev = (idx > 0) & (kk_s == jnp.roll(kk_s, 1)) & valid_s & \
+        jnp.roll(valid_s, 1)
+    same_next = (idx < E - 1) & (kk_s == jnp.roll(kk_s, -1)) & valid_s & \
+        jnp.roll(valid_s, -1)
+
+    prev_sorted = jnp.where(same_prev, jnp.roll(order, 1), pad_value)
+    next_sorted = jnp.where(same_next, jnp.roll(order, -1), pad_value)
+
+    ix = jnp.zeros((E,), dtype=jnp.int32).at[order].set(
+        prev_sorted.astype(jnp.int32))
+    jx = jnp.zeros((E,), dtype=jnp.int32).at[order].set(
+        next_sorted.astype(jnp.int32))
+    return ix, jx
+
+
+def compact_valid(valid):
+    """Stable permutation moving valid entries to the front.
+
+    Returns (perm, n_valid): applying arrays[perm] packs live edges first
+    while preserving creation order — the fixed-shape replacement for the
+    reference's boolean-mask compaction (`dpvo/dpvo.py:349-364`).
+    """
+    E = valid.shape[0]
+    key = jnp.where(valid, jnp.arange(E), E + jnp.arange(E))
+    perm = jnp.argsort(key, stable=True)
+    return perm, jnp.sum(valid.astype(jnp.int32))
