@@ -210,5 +210,7 @@ def test_convert_roundtrip():
     orig = {k: v.numpy() for k, v in wrapper.state_dict().items()}
     for k, v in orig.items():
         k2 = k.replace("downsample.0.", "downsample.")
+        k2 = k2.replace("patchify.fnet.", "fnet.").replace(
+            "patchify.inet.", "inet.")
         np.testing.assert_allclose(back[k2], v, atol=0,
                                    err_msg=k)
