@@ -1,0 +1,405 @@
+"""Jitted per-frame SLAM megafunctions.
+
+The reference's per-frame work (`DPVO.__call__`, `dpvo/dpvo.py:771-875`) is
+re-expressed as a handful of fixed-shape XLA programs threading a donated
+`SLAMState`:
+
+  insert_frame    encoders + patch selection + buffer writes + motion model
+                  (`dpvo/dpvo.py:781-841`, `net.py:111-176`)
+  motion_probe    trial update on the newest M edges -> median flow scalar
+                  (`dpvo/dpvo.py:366-381`)
+  track_step      edge append + reproject + correlation + update operator +
+                  bundle adjustment + keyframe flow metric
+                  (`dpvo/dpvo.py:711-749,855-867,605-611`)
+  update_only     the optimization inner loop alone (bootstrap / refinement)
+  keyframe_shift  keyframe eviction: buffer shift-left by gather, edge
+                  renumbering, edge retirement (`dpvo/dpvo.py:605-658`)
+  retire_edges    age-based edge retirement + stable compaction (`:657`)
+
+Host<->device traffic per frame is a couple of scalars (probe metric, flow
+magnitude, relative pose on eviction) — everything else stays resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ba.gauss_newton import BAConfig, bundle_adjust
+from ..models import vonet
+from ..models.update import update_forward
+from ..models.vonet import DIM, FDIM, P, RES
+from ..ops import lie
+from ..ops import projective as pops
+from ..ops.corr import patch_corr_pyramid
+from ..ops.patchify import avg_pool2d
+from ..ops.segment import compact_valid, neighbors
+from .state import SLAMState
+
+
+def _feat_dtype(cfg):
+    return jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# frame insertion
+# ---------------------------------------------------------------------------
+
+def insert_frame(cfg, params, state: SLAMState, image, intrinsics, key, fac,
+                 tstamp, depth=None, mask=None, initialized=False):
+    """Insert the frame at slot n = state.n_frames (not yet accepted).
+
+    image: [H, W, 3] uint8; intrinsics: [4] full-res; fac: motion-model
+    timestamp ratio (host scalar); depth: optional [H, W] metric depth;
+    mask: optional [H, W] bool (True = usable/static).
+    """
+    M = cfg.PATCHES_PER_FRAME
+    pmem = cfg.pmem
+    n = state.n_frames
+
+    feats = vonet.encode_frame(params, image, _feat_dtype(cfg))
+    h4, w4 = feats.fmap.shape[0], feats.fmap.shape[1]
+
+    k_sel, k_depth = jax.random.split(key)
+    gmap_bias = vonet.image_gradient_map(image) if cfg.GRADIENT_BIAS else None
+    coords = vonet.select_patches(k_sel, M, h4, w4, gradient_map=gmap_bias,
+                                  mask=mask if gmap_bias is None else None)
+    imap_p, gmap_p, clr, patches = vonet.gather_patches(feats, image, coords)
+
+    # ---- patch inverse-depth initialization ------------------------------
+    # default: per-patch uniform random (`dpvo/dpvo.py:818`)
+    d0 = jax.random.uniform(k_depth, (M,))
+    patches = patches.at[:, 2].set(
+        jnp.broadcast_to(d0[:, None, None], (M, P, P)))
+    patches_est_row = jnp.zeros_like(patches)
+
+    if depth is not None:
+        depth_f = depth.astype(jnp.float32)
+        if initialized and mask is not None:
+            # scale-align the metric prior to the current map scale
+            # (`dpvo/dpvo.py:819-825`)
+            lo = jnp.maximum(n - 3, 0) * M
+            win = jax.lax.dynamic_slice_in_dim(state.patches, lo, 3 * M, 0)
+            s = jnp.median(win[:, 2])
+            ref_med = jnp.nanmedian(jnp.where(mask, depth_f, jnp.nan))
+            depth_f = (1.0 / jnp.maximum(s, 1e-6)) / jnp.maximum(
+                ref_med, 1e-6) * depth_f
+        # per-patch prior: 1 / median(depth at the patch's 3x3 full-res
+        # pixels) (`dpvo/patchgraph.py:97-110`)
+        H, W = depth_f.shape
+        px = jnp.clip((patches[:, 0] * RES).astype(jnp.int32), 0, W - 1)
+        py = jnp.clip((patches[:, 1] * RES).astype(jnp.int32), 0, H - 1)
+        samples = depth_f[py, px].reshape(M, -1)
+        med = jnp.median(samples, axis=1)
+        inv = 1.0 / jnp.maximum(med, 1e-6)
+        patches = patches.at[:, 2].set(
+            jnp.broadcast_to(inv[:, None, None], (M, P, P)))
+        patches_est_row = patches
+
+    # ---- damped-linear motion extrapolation ------------------------------
+    # (`dpvo/dpvo.py:802-815`)
+    P1 = state.poses[jnp.maximum(n - 1, 0)]
+    P2 = state.poses[jnp.maximum(n - 2, 0)]
+    xi = cfg.MOTION_DAMPING * fac * lie.se3_log(
+        lie.se3_mul(P1, lie.se3_inv(P2)))
+    pred = lie.se3_mul(lie.se3_exp(xi), P1)
+    new_pose = jnp.where(n > 1, pred, jnp.where(n > 0, P1, state.poses[n]))
+
+    # ---- buffer writes ---------------------------------------------------
+    slot = jnp.mod(n, pmem)
+    fd = _feat_dtype(cfg)
+    state = state._replace(
+        poses=state.poses.at[n].set(new_pose),
+        patches=jax.lax.dynamic_update_slice_in_dim(
+            state.patches, patches, n * M, 0),
+        patches_est=jax.lax.dynamic_update_slice_in_dim(
+            state.patches_est, patches_est_row, n * M, 0),
+        intrinsics=state.intrinsics.at[n].set(
+            intrinsics.astype(jnp.float32) / RES),
+        colors=state.colors.at[n].set(
+            jnp.clip(clr, 0, 255).astype(jnp.uint8)),
+        imap=jax.lax.dynamic_update_slice_in_dim(
+            state.imap, imap_p.astype(fd), slot * M, 0),
+        gmap=jax.lax.dynamic_update_slice_in_dim(
+            state.gmap, gmap_p.astype(fd), slot * M, 0),
+        fmap1=state.fmap1.at[slot].set(feats.fmap.astype(fd)),
+        fmap2=state.fmap2.at[slot].set(
+            avg_pool2d(feats.fmap, 4).astype(fd)),
+    )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# shared: run the update operator over an edge list
+# ---------------------------------------------------------------------------
+
+def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n):
+    """reproject -> correlate -> update operator. Returns
+    (net', delta, weight, coords)."""
+    M = cfg.PATCHES_PER_FRAME
+    pmem = cfg.pmem
+    fd = _feat_dtype(cfg)
+
+    coords = pops.transform(state.poses, state.patches, state.intrinsics,
+                            ii, jj, kk)                     # [E, P, P, 2]
+    coords = jnp.where(valid[:, None, None, None], coords, 0.0)
+
+    corr = patch_corr_pyramid(
+        state.gmap, (state.fmap1, state.fmap2),
+        coords.astype(jnp.float32),
+        jnp.mod(kk, M * pmem), jnp.mod(jj, pmem),
+        radius=3, valid=valid, chunk=cfg.CORR_CHUNK)        # [E, 882]
+
+    ctx = state.imap[jnp.mod(kk, M * pmem)]
+
+    # bounded segment ids for the SoftAgg groups
+    FW = cfg.frame_window
+    kb = jnp.maximum(n - (FW - 1), 0) * M
+    fb = jnp.maximum(n - (FW - 1), 0)
+    kk_seg = jnp.clip(kk - kb, 0, cfg.patch_slots)
+    kk_seg = jnp.where(valid, kk_seg, cfg.patch_slots)
+    li = jnp.clip(ii - fb, 0, FW)
+    lj = jnp.clip(jj - fb, 0, FW)
+    ij_seg = jnp.where(valid, li * (FW + 1) + lj, (FW + 1) * (FW + 1))
+
+    nbr_ix, nbr_jx = neighbors(kk, jj, valid=valid)
+
+    net2, delta, weight = update_forward(
+        params["update"], net.astype(fd), ctx.astype(fd), corr.astype(fd),
+        kk_seg, ij_seg, nbr_ix, nbr_jx, valid,
+        cfg.patch_slots + 1, (FW + 1) * (FW + 1) + 1)
+    return net2, delta, weight, coords
+
+
+# ---------------------------------------------------------------------------
+# motion probe (pre-initialization gating)
+# ---------------------------------------------------------------------------
+
+def motion_probe(cfg, params, state: SLAMState):
+    """Median flow-delta magnitude for trial edges (prev frame patches ->
+    current frame). `dpvo/dpvo.py:366-381`."""
+    M = cfg.PATCHES_PER_FRAME
+    n = state.n_frames                      # current (not yet accepted) slot
+    m = n * M
+    kk = m - M + jnp.arange(M)
+    jj = jnp.full((M,), 0, jnp.int32) + n
+    ii = kk // M
+    valid = jnp.ones((M,), bool)
+    net = jnp.zeros((M, DIM), _feat_dtype(cfg))
+    _, delta, _, _ = _run_update_net(cfg, params, state, net, ii, jj, kk,
+                                     valid, n)
+    return jnp.quantile(jnp.linalg.norm(delta.astype(jnp.float32), axis=-1),
+                        0.5)
+
+
+# ---------------------------------------------------------------------------
+# edge lifecycle
+# ---------------------------------------------------------------------------
+
+def append_edges(cfg, state: SLAMState):
+    """Append forward+backward factors for the newly accepted frame.
+
+    Mirrors `__edges_forw` / `__edges_back` (`dpvo/dpvo.py:751-769`); the
+    accepted frame index is c = n_frames - 1 (n_frames already incremented).
+    """
+    M = cfg.PATCHES_PER_FRAME
+    r = cfg.PATCH_LIFETIME
+    n = state.n_frames
+    c = n - 1
+
+    # forward: patches of frames [n-r, c) -> target c
+    A_f = (r - 1) * M
+    off_f = jnp.arange(A_f, dtype=jnp.int32)
+    kk_f = M * c - A_f + off_f
+    ii_f = kk_f // M
+    jj_f = jnp.full((A_f,), 0, jnp.int32) + c
+    ok_f = (kk_f >= M * jnp.maximum(n - r, 0)) & (kk_f >= 0)
+
+    # backward: patches of frame c -> targets [n-r, n)
+    grid_t = jnp.arange(r, dtype=jnp.int32)                 # target offsets
+    tvals = n - r + grid_t                                  # [r]
+    kk_b = (M * c + jnp.arange(M, dtype=jnp.int32))[:, None]  # [M, 1]
+    kk_b = jnp.broadcast_to(kk_b, (M, r)).reshape(-1)
+    jj_b = jnp.broadcast_to(tvals[None, :], (M, r)).reshape(-1)
+    ii_b = kk_b // M
+    ok_b = (jj_b >= 0)
+
+    ii_new = jnp.concatenate([ii_f, ii_b])
+    jj_new = jnp.concatenate([jj_f, jj_b])
+    kk_new = jnp.concatenate([kk_f, kk_b])
+    ok_new = jnp.concatenate([ok_f, ok_b])
+
+    A = ii_new.shape[0]
+    cur = state.n_edges
+    upd = functools.partial(jax.lax.dynamic_update_slice_in_dim, axis=0)
+    state = state._replace(
+        ii=upd(state.ii, jnp.maximum(ii_new, 0), cur),
+        jj=upd(state.jj, jnp.maximum(jj_new, 0), cur),
+        kk=upd(state.kk, jnp.maximum(kk_new, 0), cur),
+        valid=upd(state.valid, ok_new, cur),
+        net=upd(state.net, jnp.zeros((A, DIM), state.net.dtype), cur),
+        target=upd(state.target, jnp.zeros((A, 2), jnp.float32), cur),
+        weight=upd(state.weight, jnp.zeros((A, 2), jnp.float32), cur),
+        n_edges=cur + A,
+    )
+    return state
+
+
+def retire_and_compact(cfg, state: SLAMState):
+    """Drop edges whose source fell out of the removal window, then stable-
+    compact the table (`dpvo/dpvo.py:657-658`)."""
+    M = cfg.PATCHES_PER_FRAME
+    n = state.n_frames
+    keep = state.valid & (state.kk // M >= n - cfg.REMOVAL_WINDOW)
+    perm, n_valid = compact_valid(keep)
+    return state._replace(
+        ii=state.ii[perm], jj=state.jj[perm], kk=state.kk[perm],
+        valid=keep[perm], net=state.net[perm], target=state.target[perm],
+        weight=state.weight[perm], n_edges=n_valid)
+
+
+# ---------------------------------------------------------------------------
+# the optimization inner loop
+# ---------------------------------------------------------------------------
+
+def update_op(cfg, params, state: SLAMState, t0):
+    """One update: network + 2 Gauss-Newton iterations + point refresh.
+
+    Mirrors `DPVO.update` (`dpvo/dpvo.py:711-749`). t0 is the first free
+    pose (1 during bootstrap, n - OPTIMIZATION_WINDOW when initialized).
+    """
+    M = cfg.PATCHES_PER_FRAME
+    n = state.n_frames
+
+    net2, delta, weight, coords = _run_update_net(
+        cfg, params, state, state.net, state.ii, state.jj, state.kk,
+        state.valid, n)
+
+    target = coords[:, P // 2, P // 2, :].astype(jnp.float32) + \
+        delta.astype(jnp.float32)
+    weight = weight.astype(jnp.float32) * state.valid[:, None]
+
+    m_base = jnp.maximum(n - (cfg.patch_window_frames - 1), 0) * M
+
+    ba_cfg = BAConfig(window=cfg.ba_window, patch_slots=cfg.patch_slots,
+                      iterations=2)
+    poses, patches = bundle_adjust(
+        state.poses, state.patches, state.intrinsics[0], target, weight,
+        1e-4, state.ii, state.jj, state.kk, state.valid, t0, n, m_base,
+        ba_cfg)
+
+    # refresh the world-point cloud (`dpvo/dpvo.py:747-749`)
+    ix = jnp.arange(state.patches.shape[0], dtype=jnp.int32) // M
+    pts = pops.point_cloud(poses, patches, state.intrinsics, ix)
+    pc = pts[:, P // 2, P // 2, :]
+    points = pc[:, :3] / jnp.where(jnp.abs(pc[:, 3:]) > 1e-8, pc[:, 3:], 1.0)
+
+    return state._replace(net=net2, target=target, weight=weight,
+                          poses=poses, patches=patches, points=points)
+
+
+def flow_metric(cfg, state: SLAMState, i, j):
+    """Bidirectional mean flow magnitude between keyframes i and j over the
+    live edges connecting them (`DPVO.motionmag`, `dpvo/dpvo.py:507-514`,
+    with beta=0.5 as used by `keyframe`)."""
+    fm = pops.flow_mag(state.poses, state.patches, state.intrinsics,
+                       state.ii, state.jj, state.kk, beta=0.5).mean(axis=(1, 2))
+
+    def masked_mean(m):
+        w = m.astype(jnp.float32)
+        return jnp.sum(fm * w) / jnp.maximum(w.sum(), 1.0)
+
+    m_fwd = (state.ii == i) & (state.jj == j) & state.valid
+    m_rev = (state.ii == j) & (state.jj == i) & state.valid
+    return masked_mean(m_fwd) + masked_mean(m_rev)
+
+
+# ---------------------------------------------------------------------------
+# keyframe eviction
+# ---------------------------------------------------------------------------
+
+def keyframe_shift(cfg, state: SLAMState):
+    """Evict keyframe k = n - KEYFRAME_INDEX: record its relative pose,
+    drop its edges, renumber, and shift every buffer left by one
+    (`dpvo/dpvo.py:611-645`) — implemented as parallel gathers instead of
+    the reference's sequential Python copy loop.
+
+    Returns (state', dP[7]) where dP = pose_k * pose_{k-1}^-1 is the delta
+    the host records for trajectory completion.
+    """
+    M = cfg.PATCHES_PER_FRAME
+    pmem = cfg.pmem
+    n = state.n_frames
+    k = n - cfg.KEYFRAME_INDEX
+
+    dP = lie.se3_mul(state.poses[k], lie.se3_inv(state.poses[k - 1]))
+
+    # drop edges touching k, then renumber indices above k
+    valid = state.valid & ~((state.ii == k) | (state.jj == k))
+    kk = jnp.where(state.ii > k, state.kk - M, state.kk)
+    ii = jnp.where(state.ii > k, state.ii - 1, state.ii)
+    jj = jnp.where(state.jj > k, state.jj - 1, state.jj)
+
+    # shift per-frame buffers [k .. n-2] <- [k+1 .. n-1]
+    N = state.poses.shape[0]
+    fidx = jnp.arange(N, dtype=jnp.int32)
+    src_f = jnp.where((fidx >= k) & (fidx < n - 1), fidx + 1, fidx)
+    src_f = jnp.clip(src_f, 0, N - 1)
+
+    pidx = jnp.arange(state.patches.shape[0], dtype=jnp.int32)
+    src_p = jnp.where((pidx >= k * M) & (pidx < (n - 1) * M), pidx + M, pidx)
+    src_p = jnp.clip(src_p, 0, state.patches.shape[0] - 1)
+
+    # ring buffers: slot (i % pmem) <- slot ((i+1) % pmem) for i in [k, n-1)
+    ridx = jnp.arange(pmem, dtype=jnp.int32)
+    # find whether this ring slot holds some frame i in [k, n-1): the live
+    # frames occupying the ring are (n - pmem, n]; map slot -> frame id
+    # i with i % pmem == slot and n - pmem <= i < n
+    i_of_slot = n - 1 - jnp.mod(n - 1 - ridx, pmem)
+    shift_r = (i_of_slot >= k) & (i_of_slot < n - 1)
+    src_r = jnp.where(shift_r, jnp.mod(i_of_slot + 1, pmem), ridx)
+
+    rpidx = jnp.arange(pmem * M, dtype=jnp.int32)
+    rslot = rpidx // M
+    src_rp = jnp.where(shift_r[rslot], jnp.mod(i_of_slot[rslot] + 1, pmem)
+                       * M + rpidx % M, rpidx)
+
+    state = state._replace(
+        poses=state.poses[src_f],
+        patches=state.patches[src_p],
+        patches_est=state.patches_est[src_p],
+        intrinsics=state.intrinsics[src_f],
+        colors=state.colors[src_f],
+        imap=state.imap[src_rp],
+        gmap=state.gmap[src_rp],
+        fmap1=state.fmap1[src_r],
+        fmap2=state.fmap2[src_r],
+        ii=ii, jj=jj, kk=kk, valid=valid,
+        n_frames=n - 1,
+    )
+    return retire_and_compact(cfg, state), dP
+
+
+# ---------------------------------------------------------------------------
+# fused per-frame tracking step
+# ---------------------------------------------------------------------------
+
+def track_step(cfg, params, state: SLAMState):
+    """append factors -> update -> keyframe flow metric -> retire old edges.
+
+    Returns (state', flow_metric_scalar). The host compares the scalar to
+    KEYFRAME_THRESH and triggers `keyframe_shift` when the frame is too
+    static (`dpvo/dpvo.py:605-612`).
+    """
+    state = append_edges(cfg, state)
+    n = state.n_frames
+    t0 = jnp.maximum(n - cfg.OPTIMIZATION_WINDOW, 1)
+    state = update_op(cfg, params, state, t0)
+    i = n - cfg.KEYFRAME_INDEX - 1
+    j = n - cfg.KEYFRAME_INDEX + 1
+    mm = flow_metric(cfg, state, i, j)
+    state = retire_and_compact(cfg, state)
+    return state, mm

@@ -1,0 +1,138 @@
+"""Configuration system (dataclass + YAML overlays + CLI merging).
+
+Replaces the reference's yacs setup (`dpvo/config.py:3-37`,
+`dpvo_configs/*.yaml`): same knob names and defaults so reference config
+files load unchanged. Derived *static* capacities (edge buffer size, BA
+window, segment bounds) are computed here once — they define the compiled
+shapes of the jitted SLAM steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass
+class DPVOConfig:
+    # max number of keyframes (buffer capacity)
+    BUFFER_SIZE: int = 2048
+    # bias patch selection towards high gradient regions
+    GRADIENT_BIAS: bool = True
+    # VO config (increase for better accuracy)
+    PATCHES_PER_FRAME: int = 80
+    REMOVAL_WINDOW: int = 20
+    OPTIMIZATION_WINDOW: int = 12
+    PATCH_LIFETIME: int = 12
+    # keyframe decision
+    KEYFRAME_INDEX: int = 4
+    KEYFRAME_THRESH: float = 12.5
+    # camera motion model
+    MOTION_MODEL: str = "DAMPED_LINEAR"
+    MOTION_DAMPING: float = 0.5
+    MIXED_PRECISION: bool = True
+    # loop closure
+    loop_enabled: bool = False
+    LOOP_CLOSE_WINDOW_SIZE: int = 3
+    LOOP_RETR_THRESH: float = 0.50
+    # global bundle adjustment
+    ENABLE_GLOBAL_BA: bool = False
+    DISTANCE_THRESH: float = 3.0
+    USE_DISTANCE_EDGES: bool = True
+
+    # ---- TPU-rebuild specific knobs -------------------------------------
+    # ring-buffer depth for feature memory (reference `self.pmem = 36`,
+    # `dpvo/dpvo.py:58-60`; grows to BUFFER_SIZE when global BA is on)
+    MEM: int = 36
+    # edge-correlation chunk for the XLA fallback path
+    CORR_CHUNK: int = 4096
+    # use the Pallas TPU correlation kernel when available
+    PALLAS_CORR: bool = True
+
+    def merge_from_file(self, path):
+        import yaml
+
+        with open(path) as f:
+            overrides = yaml.safe_load(f) or {}
+        return self.merge_from_dict(overrides)
+
+    def merge_from_dict(self, overrides):
+        valid = {f.name for f in dataclasses.fields(self)}
+        clean = {}
+        for k, v in overrides.items():
+            if k not in valid:
+                raise KeyError(f"unknown config key: {k}")
+            clean[k] = v
+        return dataclasses.replace(self, **clean)
+
+    def merge_from_list(self, opts):
+        """yacs-style ["KEY", value, "KEY", value, ...] CLI overrides."""
+        overrides = {}
+        for k, v in zip(opts[::2], opts[1::2]):
+            cur = getattr(self, k)  # raises on unknown key
+            if isinstance(cur, bool):
+                v = v in (True, "True", "true", "1", 1)
+            elif isinstance(cur, int):
+                v = int(v)
+            elif isinstance(cur, float):
+                v = float(v)
+            overrides[k] = v
+        return self.merge_from_dict(overrides)
+
+    def dump(self):
+        import yaml
+
+        return yaml.safe_dump(dataclasses.asdict(self))
+
+    # ---- derived static capacities --------------------------------------
+
+    @property
+    def pmem(self):
+        return self.BUFFER_SIZE if self.ENABLE_GLOBAL_BA else self.MEM
+
+    @property
+    def edge_capacity(self):
+        """Static edge-buffer size: simulated worst case (no keyframe drops)
+        of the reference's edge lifecycle (`dpvo/dpvo.py:751-769` creation,
+        `:657` removal by source age) plus one frame of appends."""
+        M, r, w = self.PATCHES_PER_FRAME, self.PATCH_LIFETIME, \
+            self.REMOVAL_WINDOW
+        per_frame = []
+        max_active = 0
+        for n in range(1, 4 * (r + w)):
+            forw = M * (min(n - 1, r - 1))           # older patches -> n-1
+            back = M * min(r, n)                     # new patches -> past
+            per_frame.append((n - 1, forw + back))   # newest source = n-1
+            # drop whole source-frames older than n - w
+            per_frame = [(s, c) for (s, c) in per_frame if s >= n - w]
+            max_active = max(max_active, sum(c for _, c in per_frame))
+        cap = max_active + M * (2 * r - 1)
+        return ((cap + 1023) // 1024) * 1024
+
+    @property
+    def ba_window(self):
+        # must also cover the full bootstrap window (t0=1 at n=warmup=10)
+        return max(self.OPTIMIZATION_WINDOW + 2, 10)
+
+    @property
+    def patch_window_frames(self):
+        """Frames whose patches can appear in live edges / BA."""
+        return self.REMOVAL_WINDOW + 3
+
+    @property
+    def patch_slots(self):
+        return self.patch_window_frames * self.PATCHES_PER_FRAME
+
+    @property
+    def frame_window(self):
+        """Frames that can be touched by live edges (ii or jj)."""
+        return self.REMOVAL_WINDOW + 3
+
+
+def load_config(yaml_path=None, **overrides):
+    cfg = DPVOConfig()
+    if yaml_path:
+        cfg = cfg.merge_from_file(yaml_path)
+    if overrides:
+        cfg = cfg.merge_from_dict(overrides)
+    return cfg
