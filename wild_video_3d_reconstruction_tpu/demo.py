@@ -1,0 +1,134 @@
+"""CLI demo driver — `python -m wild_video_3d_reconstruction_tpu.demo`.
+
+Flag-compatible port of the reference `dpvo_demo.py:144-210`: stream frames
+(images or video) with optional depth/mask directories, run the SLAM loop,
+final refinement updates, then export trajectory / PLY / COLMAP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def int_or_none(value):
+    if value.lower() == "none":
+        return None
+    return int(value)
+
+
+def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
+        end=None, timeit=False, path="./output", save_reconstruction=False,
+        save_trajectory=False, export_colmap=False, plot=False,
+        loop_enabled=False):
+    import jax.numpy as jnp
+
+    from .io import export, stream
+    from .slam import DPVO
+    from .utils.timer import Timer, timing_summary
+
+    if calib is None:
+        from .init.colmap_init import run_colmap_initialization
+        calib = run_colmap_initialization(imagedir, path, skip)
+    elif isinstance(calib, str):
+        calib = np.loadtxt(calib, delimiter=" ")
+
+    gen = stream.image_frames(imagedir, depthdir, maskdir, calib, stride,
+                              skip, end) if os.path.isdir(imagedir) else \
+        stream.video_frames(imagedir, calib, stride, skip)
+    reader = stream.Prefetcher(gen, maxsize=8)
+
+    slam = None
+    retrieval = None
+    from tqdm import tqdm
+    for t, image, depth, mask, intrinsics in tqdm(reader):
+        if slam is None:
+            ht, wd, _ = image.shape
+            slam = DPVO(cfg, network, ht, wd, path=path)
+            if loop_enabled or cfg.loop_enabled:
+                from .loop.longterm import LongTermLoopClosure
+                slam.loop_closure = LongTermLoopClosure(cfg, slam)
+        with Timer("SLAM", enabled=timeit):
+            slam(t, image, depth, mask, intrinsics)
+
+    for _ in range(12):
+        slam.refine(1)
+
+    points, colors = slam.points_and_colors()
+    poses, tstamps = slam.terminate()
+    if timeit:
+        timing_summary()
+
+    Path(path).mkdir(parents=True, exist_ok=True)
+    name = Path(imagedir).stem
+    if save_reconstruction:
+        export.save_ply(Path(path) / f"{name}.ply", points, colors)
+        print(f"Saved {path}/{name}.ply")
+    if save_trajectory:
+        Path(f"{path}/saved_trajectories").mkdir(exist_ok=True, parents=True)
+        export.save_trajectory_tum_format(
+            poses, tstamps, f"{path}/saved_trajectories/{name}.txt")
+    if plot:
+        Path(f"{path}/trajectory_plots").mkdir(exist_ok=True, parents=True)
+        export.plot_trajectory(poses, title=f"DPVO Trajectory for {name}",
+                               filename=f"{path}/trajectory_plots/{name}.pdf")
+    if export_colmap:
+        fx, fy, cx, cy = np.asarray(calib)[:4]
+        export.save_output_for_colmap(
+            f"{path}/colmap_{name}", poses, tstamps, points, colors,
+            fx, fy, cx, cy, slam.ht, slam.wd)
+        with open(f"{path}/config.yaml", "w") as f:
+            f.write(cfg.dump())
+    return poses, tstamps, (points, colors)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--network", type=str,
+                        default="checkpoints/dpvo.pth")
+    parser.add_argument("--imagedir", type=str, required=True)
+    parser.add_argument("--depthdir", type=str, default=None)
+    parser.add_argument("--maskdir", type=str, default=None)
+    parser.add_argument("--calib", type=str, default=None)
+    parser.add_argument("--path", type=str, default="./output")
+    parser.add_argument("--buffer", type=int, default=2048)
+    parser.add_argument("--config", default="configs/default.yaml")
+    parser.add_argument("--stride", type=int, default=2)
+    parser.add_argument("--skip", type=int, default=0)
+    parser.add_argument("--end", type=int_or_none, default=None)
+    parser.add_argument("--timeit", action="store_true")
+    parser.add_argument("--loop_enabled", action="store_true")
+    parser.add_argument("--save_reconstruction", action="store_true")
+    parser.add_argument("--save_trajectory", action="store_true")
+    parser.add_argument("--export_colmap", action="store_true")
+    parser.add_argument("--plot", action="store_true")
+    parser.add_argument("--set_seed", type=int, default=0)
+    parser.add_argument("--opts", nargs="+", default=[])
+    args = parser.parse_args(argv)
+
+    from .utils.config import load_config
+
+    cfg = load_config(args.config if os.path.exists(args.config) else None)
+    cfg = cfg.merge_from_dict({"BUFFER_SIZE": args.buffer,
+                               "loop_enabled": args.loop_enabled})
+    if args.opts:
+        cfg = cfg.merge_from_list(args.opts)
+    print(cfg.dump())
+
+    network = args.network if os.path.exists(args.network) else None
+    if network is None:
+        print(f"WARNING: checkpoint {args.network} not found; "
+              "using random weights")
+    run(cfg, network, args.imagedir, args.depthdir, args.maskdir, args.calib,
+        stride=args.stride, skip=args.skip, end=args.end, timeit=args.timeit,
+        path=args.path, save_reconstruction=args.save_reconstruction,
+        save_trajectory=args.save_trajectory,
+        export_colmap=args.export_colmap, plot=args.plot,
+        loop_enabled=args.loop_enabled)
+
+
+if __name__ == "__main__":
+    main()
