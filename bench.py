@@ -1,0 +1,79 @@
+"""Benchmark: end-to-end VO throughput at 512x384 on the TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 60 FPS (2x real-time) at 512x384 on one v5e chip
+(BASELINE.md). Synthetic in-memory frames isolate device throughput from
+disk decode (the real pipeline overlaps decode via io.stream.Prefetcher).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+HT, WD = 384, 512
+BASELINE_FPS = 60.0
+
+
+def synthetic_frames(n, ht=HT, wd=WD, seed=0):
+    rng = np.random.default_rng(seed)
+    big = rng.integers(0, 255, size=(ht + 256, wd + 256, 3),
+                       dtype=np.uint8)
+    # smooth it a bit so gradients are natural
+    frames = []
+    for t in range(n):
+        y, x = (5 * t) % 256, (7 * t) % 256
+        frames.append(np.ascontiguousarray(big[y:y + ht, x:x + wd]))
+    return frames
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/fast.yaml")
+    ap.add_argument("--frames", type=int, default=80)
+    ap.add_argument("--warmup", type=int, default=25)
+    ap.add_argument("--buffer", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from wild_video_3d_reconstruction_tpu.slam import DPVO
+    from wild_video_3d_reconstruction_tpu.utils.config import load_config
+
+    cfg = load_config(args.config, BUFFER_SIZE=args.buffer)
+
+    slam = DPVO(cfg, None, HT, WD, seed=0)
+    # random weights would stall the motion-probe gate; force acceptance so
+    # the benchmark exercises the full steady-state tracking path
+    slam._probe = lambda *a: jnp.float32(100.0)
+
+    intr = np.array([400.0, 400.0, WD / 2, HT / 2])
+    frames = synthetic_frames(args.frames)
+
+    t_start = None
+    n_timed = 0
+    for t, img in enumerate(frames):
+        slam(t, img, intrinsics=intr)
+        if t == args.warmup - 1:
+            jax.block_until_ready(slam.state.poses)
+            t_start = time.perf_counter()
+        elif t >= args.warmup:
+            n_timed += 1
+    jax.block_until_ready(slam.state.poses)
+    elapsed = time.perf_counter() - t_start
+    fps = n_timed / elapsed
+
+    print(json.dumps({
+        "metric": "vo_fps_512x384_fast48",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""Loop-closure building blocks: Umeyama/RANSAC, PGO, keypoints, retrieval."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wild_video_3d_reconstruction_tpu.loop import (keypoints, pgo, retrieval,
+                                                   umeyama)
+from wild_video_3d_reconstruction_tpu.loop.netvlad import (DescriptorDatabase,
+                                                           VLADDescriptor)
+from wild_video_3d_reconstruction_tpu.ops import lie
+
+
+def random_sim3(rng, scale=True):
+    R, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(R) < 0:
+        R[:, 0] *= -1
+    t = rng.normal(size=3)
+    s = np.exp(rng.normal() * 0.3) if scale else 1.0
+    return R, t, s
+
+
+def test_umeyama_exact():
+    rng = np.random.default_rng(0)
+    R, t, s = random_sim3(rng)
+    x = rng.normal(size=(50, 3))
+    y = (s * (R @ x.T)).T + t
+    Re, te, se = umeyama.umeyama_alignment(x.T, y.T)
+    np.testing.assert_allclose(Re, R, atol=1e-8)
+    np.testing.assert_allclose(te, t, atol=1e-8)
+    np.testing.assert_allclose(se, s, atol=1e-8)
+
+
+def test_ransac_umeyama_with_outliers():
+    rng = np.random.default_rng(1)
+    R, t, s = random_sim3(rng)
+    x = rng.normal(size=(200, 3))
+    y = (s * (R @ x.T)).T + t
+    # 30% outliers
+    out = rng.random(200) < 0.3
+    y[out] += rng.normal(size=(out.sum(), 3)) * 5.0
+    Re, te, se, n_inl = umeyama.ransac_umeyama(x, y, iterations=200,
+                                               threshold=0.1, seed=0)
+    assert n_inl > 100
+    np.testing.assert_allclose(Re, R, atol=1e-3)
+    np.testing.assert_allclose(se, s, rtol=1e-3)
+
+
+def test_pgo_closes_synthetic_loop():
+    """Drifted circular trajectory + one perfect loop measurement: PGO must
+    pull the endpoints together."""
+    n = 40
+    rng = np.random.default_rng(2)
+    # ground truth: closed circle
+    angles = np.linspace(0, 2 * np.pi, n)
+    xi = np.zeros((n, 6))
+    xi[:, 0] = np.cos(angles)
+    xi[:, 1] = np.sin(angles)
+    gt = np.asarray(lie.se3_exp(jnp.asarray(xi, jnp.float32)))
+
+    # drifted estimate: accumulate noisy relative poses
+    est = [gt[0]]
+    for k in range(1, n):
+        rel = np.asarray(lie.se3_mul(jnp.asarray(gt[k]),
+                                     lie.se3_inv(jnp.asarray(gt[k - 1]))))
+        noise = np.zeros(6)
+        noise[:3] = 0.02 * rng.normal(size=3)
+        rel = np.asarray(lie.se3_mul(lie.se3_exp(jnp.asarray(
+            noise, jnp.float32)), jnp.asarray(rel)))
+        est.append(np.asarray(lie.se3_mul(jnp.asarray(rel),
+                                          jnp.asarray(est[-1]))))
+    est = np.stack(est).astype(np.float32)     # w2c drifted
+
+    # loop measurement: true relative Sim3 between frames (n-2, 1)
+    i, j = n - 2, 1
+    C = lie.se3_to_sim3(lie.se3_mul(jnp.asarray(gt[j]),
+                                    lie.se3_inv(jnp.asarray(gt[i]))))
+    final = pgo.run_pgo(est, np.asarray(C)[None], np.asarray([i]),
+                        np.asarray([j]))
+    assert final.shape[1] == 8
+
+    # compare loop gap before/after (c2w positions of frames i and j)
+    def gap(poses_w2c):
+        c2w = np.asarray(lie.se3_inv(jnp.asarray(poses_w2c)))
+        gt_c2w = np.asarray(lie.se3_inv(jnp.asarray(gt)))
+        d_est = np.linalg.norm(c2w[i, :3] - c2w[j, :3])
+        d_gt = np.linalg.norm(gt_c2w[i, :3] - gt_c2w[j, :3])
+        return abs(d_est - d_gt)
+
+    before = gap(est)
+    after_poses = np.asarray(lie.se3_inv(jnp.asarray(final[:, :7])))
+    # splice optimized prefix into trajectory
+    fixed = est.copy()
+    fixed[:final.shape[0]] = after_poses
+    after = gap(fixed)
+    assert after < 0.5 * before, (before, after)
+
+
+def test_keypoints_detect_and_match_shifted():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(96, 128, 3)).astype(np.uint8)
+    img = np.asarray(jax.image.resize(jnp.asarray(img, jnp.float32),
+                                      (96, 128, 3), "linear")).astype(
+        np.uint8)
+    shift = 6
+    img2 = np.roll(img, shift, axis=1)
+
+    fmap = jnp.asarray(rng.normal(size=(24, 32, 16)), jnp.float32)
+    fmap2 = jnp.roll(fmap, shift // 4, axis=1)
+
+    xy1, s1 = keypoints.detect(jnp.asarray(img), 256)
+    xy2, s2 = keypoints.detect(jnp.asarray(img2), 256)
+    assert float(s1[0]) > 0
+    d1 = keypoints.describe(fmap, xy1)
+    d2 = keypoints.describe(fmap2, xy2)
+    i0, i1, ok = keypoints.match(d1, d2, s1 > 0, s2 > 0)
+    ok = np.asarray(ok)
+    assert ok.sum() > 20
+    # matched keypoints should mostly differ by the shift in x
+    dx = np.asarray(xy2)[np.asarray(i1)[ok], 0] - np.asarray(xy1)[
+        np.asarray(i0)[ok], 0]
+    frac = np.mean(np.abs((dx % 128) - shift) < 2.0)
+    assert frac > 0.5, frac
+
+
+def test_retrieval_protocol():
+    db = DescriptorDatabase(dim=8)
+    r = retrieval.Retrieval(db, nms=5, skip_window=3)
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    for n in range(10):
+        d = rng.normal(size=8)
+        d /= np.linalg.norm(d)
+        # frame 8 revisits frame 0's descriptor
+        r.add_frame(n, base if n in (0, 8) else d)
+    r.save_up_to(9)
+    cand = r.detect_loop(thresh=0.9, num_repeat=1)
+    assert cand is not None
+    i, j = cand
+    assert i == 8 and j == 1  # j clamped to >= 1
+
+
+def test_vlad_descriptor_similarity():
+    vlad = VLADDescriptor(num_clusters=8, feat_dim=16)
+    rng = np.random.default_rng(5)
+    f1 = rng.normal(size=(24, 32, 16)).astype(np.float32)
+    f2 = f1 + 0.05 * rng.normal(size=f1.shape).astype(np.float32)
+    f3 = rng.normal(size=(24, 32, 16)).astype(np.float32)
+    d1, d2, d3 = map(vlad.extract, (f1, f2, f3))
+    # near-duplicate maps must be much closer than unrelated ones (iid
+    # gaussian features share a strong common component, so compare
+    # cosine *distances*, not absolute similarity)
+    assert d1 @ d2 > d1 @ d3
+    assert (1 - d1 @ d2) < 0.3 * (1 - d1 @ d3)

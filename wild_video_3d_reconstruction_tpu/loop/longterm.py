@@ -1,0 +1,257 @@
+"""Long-term loop closure orchestration.
+
+Port of the reference `LongTermLoopClosure` (`dpvo/loop_closure/
+long_term.py:20-286`) over the TPU-native building blocks: VLAD retrieval
+(`loop.netvlad` + `loop.retrieval`), jnp keypoints/matching
+(`loop.keypoints`), structure-only triangulation on the shared BA program,
+vectorized RANSAC-Umeyama and the scipy-backed Sim(3) PGO (`loop.pgo`).
+
+Per keyframe: store a global descriptor + JPEG cache entry. When a loop
+candidate survives the repetition check: triangulate 3D keypoints on the
+(i-1, i, i+1) and (j-1, j, j+1) triplets, match across, fit Sim(3) with
+RANSAC, optimize the pose graph, and rescale poses / patch depths / the
+dropped-frame delta chain.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ba.gauss_newton import BAConfig, bundle_adjust
+from ..models import vonet
+from ..ops import lie
+from ..ops import projective as pops
+from . import keypoints as kp
+from .cache import ImageCache
+from .netvlad import DescriptorDatabase, VLADDescriptor
+from .pgo import run_pgo
+from .retrieval import Retrieval
+from .umeyama import ransac_umeyama
+
+MIN_NUM_INLIERS = 30
+NUM_KPTS = 2048
+
+
+class LongTermLoopClosure:
+    def __init__(self, cfg, slam, vlad=None):
+        self.cfg = cfg
+        self.slam = slam
+        self.vlad = vlad or VLADDescriptor()
+        self.retrieval = Retrieval(DescriptorDatabase(self.vlad.dim))
+        self.imcache = ImageCache()
+        self.loop_ii = np.zeros(0, np.int64)
+        self.loop_jj = np.zeros(0, np.int64)
+        self.lc_count = 0
+        self._encode = jax.jit(
+            lambda params, img: vonet.encode_frame(params, img,
+                                                   jnp.float32).fmap)
+
+    # ------------------------------------------------------------ per frame
+    def __call__(self, image, n, tstamp):
+        slot = n % self.cfg.pmem
+        fmap = np.asarray(self.slam.state.fmap1[slot], np.float32)
+        self.retrieval.add_frame(n, self.vlad.extract(fmap))
+        self.imcache.add_frame(image, n)
+
+    def keyframe(self, k):
+        self.retrieval.keyframe(k)
+        self.imcache.keyframe(k)
+
+    # ------------------------------------------------- keypoint triangulation
+    def estimate_3d_keypoints(self, i):
+        """Detect/match/triangulate on the (i-1, i, i+1) triplet.
+
+        Returns (points [N,3] in frame-i camera coords, features dict).
+        Mirrors `long_term.py:72-140` with the structure-only BA expressed
+        through the shared `bundle_adjust` (t0 == t1 -> depth-only solve).
+        """
+        images = self.imcache.load_frames([i - 1, i, i + 1])
+        fmaps = [np.asarray(self._encode(self.slam.params,
+                                         jnp.asarray(im))[0])
+                 for im in images]
+
+        feats = []
+        for im, fm in zip(images, fmaps):
+            xy, score = kp.detect(jnp.asarray(im), NUM_KPTS)
+            desc = kp.describe(jnp.asarray(fm), xy)
+            feats.append({"xy": np.asarray(xy), "score": np.asarray(score),
+                          "desc": desc, "valid": np.asarray(score) > 0})
+
+        # trajectories across the triplet, anchored on the center frame
+        _, m01, ok01 = kp.match(feats[0]["desc"], feats[1]["desc"],
+                                jnp.asarray(feats[0]["valid"]),
+                                jnp.asarray(feats[1]["valid"]))
+        _, m21, ok21 = kp.match(feats[2]["desc"], feats[1]["desc"],
+                                jnp.asarray(feats[2]["valid"]),
+                                jnp.asarray(feats[1]["valid"]))
+        traj = np.full((NUM_KPTS, 3), -1, np.int64)
+        traj[:, 1] = np.arange(NUM_KPTS)
+        m01, ok01, m21, ok21 = map(np.asarray, (m01, ok01, m21, ok21))
+        traj[m01[ok01], 0] = np.where(ok01)[0]
+        traj[m21[ok21], 2] = np.where(ok21)[0]
+        traj = traj[traj.min(axis=1) >= 0]
+        n_tr = len(traj)
+        if n_tr < 8:
+            return np.zeros((0, 3)), None
+        a, b, c = traj.T
+
+        kps0 = feats[0]["xy"][a]
+        kps1 = feats[1]["xy"][b]
+        kps2 = feats[2]["xy"][c]
+        desc1 = np.asarray(feats[1]["desc"])[b]
+
+        # mini patch graph: patches at center-frame keypoints, constant
+        # initial disparity = median live disparity of frame i
+        st = self.slam.state
+        M = self.cfg.PATCHES_PER_FRAME
+        disp0 = float(np.median(
+            np.asarray(st.patches[i * M:(i + 1) * M, 2, 1, 1])))
+        P = 3
+        patches = np.zeros((n_tr, 3, P, P), np.float32)
+        patches[:, 0] = kps1[:, 0, None, None]
+        patches[:, 1] = kps1[:, 1, None, None]
+        patches[:, 2] = disp0
+
+        kk = np.tile(np.arange(n_tr), 2)
+        ii = np.ones(2 * n_tr, np.int32)
+        jj = np.zeros(2 * n_tr, np.int32)
+        jj[n_tr:] = 2
+        target = np.concatenate([kps0, kps2], axis=0).astype(np.float32)
+        weight = np.ones_like(target)
+
+        poses = np.asarray(st.poses[i - 1:i + 2])
+        intr = np.asarray(st.intrinsics[i]) * 4.0      # full-res intrinsics
+
+        cfg_ba = BAConfig(window=4, patch_slots=n_tr, iterations=6)
+        _, patches_out = bundle_adjust(
+            jnp.asarray(poses), jnp.asarray(patches), jnp.asarray(intr),
+            jnp.asarray(target), jnp.asarray(weight), 1e-3,
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk),
+            jnp.ones(2 * n_tr, bool), 3, 3, 0, cfg_ba)
+
+        # keep only well-triangulated points (max residual < 2 px)
+        intr_frames = jnp.tile(jnp.asarray(intr)[None], (3, 1))
+        coords = pops.transform(jnp.asarray(poses), patches_out, intr_frames,
+                                jnp.asarray(ii), jnp.asarray(jj),
+                                jnp.asarray(kk))
+        resid = np.linalg.norm(
+            np.asarray(coords[:, 1, 1, :]) - target, axis=-1)
+        max_resid = np.maximum(resid[:n_tr], resid[n_tr:])
+        mask = max_resid < 2.0
+
+        X = np.asarray(pops.iproj(patches_out,
+                                  jnp.tile(jnp.asarray(intr)[None],
+                                           (n_tr, 1))))
+        pts = X[:, 1, 1, :3] / np.maximum(X[:, 1, 1, 3:], 1e-8)
+        return pts[mask], {"xy": kps1[mask], "desc": desc1[mask]}
+
+    # ------------------------------------------------------------- closure
+    def attempt_loop_closure(self, n):
+        cands = self.retrieval.detect_loop(
+            thresh=self.cfg.LOOP_RETR_THRESH,
+            num_repeat=self.cfg.LOOP_CLOSE_WINDOW_SIZE)
+        result = False
+        if cands is not None:
+            i, j = cands
+            print(f"Attempting loop closure with ({i}, {j})")
+            result = self.close_loop(i, j, n)
+            self.lc_count += int(result)
+            if result:
+                self.retrieval.confirm_loop(i, j)
+            self.retrieval.found.clear()
+        self.retrieval.save_up_to(n - self.cfg.REMOVAL_WINDOW - 2)
+        self.imcache.save_up_to(n - self.cfg.REMOVAL_WINDOW - 1)
+        return result
+
+    def close_loop(self, i, j, n):
+        i_pts, i_feat = self.estimate_3d_keypoints(i)
+        j_pts, j_feat = self.estimate_3d_keypoints(j)
+        if i_feat is None or j_feat is None:
+            return False
+
+        th = 20.0   # far-away points don't constrain similarity
+        isel = i_pts[:, 2] < th
+        jsel = j_pts[:, 2] < th
+        i_pts, j_pts = i_pts[isel], j_pts[jsel]
+        if i_pts.shape[0] < MIN_NUM_INLIERS or \
+                j_pts.shape[0] < MIN_NUM_INLIERS:
+            return False
+
+        di = jnp.asarray(i_feat["desc"][isel])
+        dj = jnp.asarray(j_feat["desc"][jsel])
+        vi = jnp.ones(di.shape[0], bool)
+        vj = jnp.ones(dj.shape[0], bool)
+        i_ind, j_ind, ok = kp.match(di, dj, vi, vj)
+        i_ind, j_ind, ok = map(np.asarray, (i_ind, j_ind, ok))
+        src = i_pts[i_ind[ok]].astype(np.float64)
+        dst = j_pts[j_ind[ok]].astype(np.float64)
+        if src.shape[0] < MIN_NUM_INLIERS:
+            return False
+
+        R, t, s, n_inl = ransac_umeyama(src, dst, iterations=400,
+                                        threshold=0.5)
+        if n_inl < MIN_NUM_INLIERS:
+            print(f"loop rejected: {n_inl} inliers")
+            return False
+
+        # measured Sim3 (j <- i) + the retained relative poses of past loops
+        q = lie.matrix_to_quat(jnp.asarray(R))
+        meas = np.concatenate([t, np.asarray(q), [s]]).astype(np.float32)
+
+        st = self.slam.state
+        poses_w2c = np.asarray(st.poses[:n])
+        Gi = jnp.asarray(poses_w2c[self.loop_ii])
+        Gj = jnp.asarray(poses_w2c[self.loop_jj])
+        prev = np.asarray(lie.se3_to_sim3(
+            lie.se3_mul(Gj, lie.se3_inv(Gi)))).reshape(-1, 8)
+        constants = np.concatenate([prev, meas[None]], axis=0)
+        self.loop_ii = np.concatenate([self.loop_ii, [i]])
+        self.loop_jj = np.concatenate([self.loop_jj, [j]])
+
+        final = run_pgo(poses_w2c, constants, self.loop_ii, self.loop_jj)
+        self.apply_pgo_result(final)
+        return True
+
+    def apply_pgo_result(self, final_c2w_sim3):
+        """Write optimized poses back, rescale depths and the delta chain
+        (`long_term.py:194-208, 276-284`)."""
+        slam = self.slam
+        st = slam.state
+        safe_i = final_c2w_sim3.shape[0]
+        res = final_c2w_sim3[:, :7]
+        s = final_c2w_sim3[:, 7]
+
+        new_poses = np.asarray(st.poses).copy()
+        new_poses[:safe_i] = np.asarray(lie.se3_inv(jnp.asarray(res)))
+        M = self.cfg.PATCHES_PER_FRAME
+        new_patches = np.asarray(st.patches).copy()
+        new_patches[:safe_i * M, 2] /= np.repeat(s, M)[:, None, None]
+
+        slam.state = st._replace(poses=jnp.asarray(new_poses),
+                                 patches=jnp.asarray(new_patches))
+
+        s1 = np.ones(slam.n)
+        s1[:safe_i] = s
+        self._rescale_deltas(s1)
+
+    def _rescale_deltas(self, s):
+        slam = self.slam
+        t2s = {int(slam.tstamps[i]): s[i] for i in range(slam.n)}
+        for t, (t0, dP) in list(slam.delta.items()):
+            t_src = t
+            while t_src in slam.delta:
+                t_src, _ = slam.delta[t_src]
+            if t_src in t2s:
+                scl = t2s[t_src]
+                dP2 = np.asarray(dP, np.float32).copy()
+                dP2[:3] *= scl
+                slam.delta[t] = (t0, dP2)
+
+    def terminate(self, n):
+        self.retrieval.save_up_to(n - 1)
+        self.imcache.save_up_to(n - 1)
+        self.attempt_loop_closure(n)
+        self.imcache.close()
+        print(f"LC COUNT: {self.lc_count}")

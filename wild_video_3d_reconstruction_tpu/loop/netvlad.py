@@ -1,0 +1,117 @@
+"""Global image descriptors for place recognition (NetVLAD-style).
+
+The reference extracts 4096-d NetVLAD descriptors with hloc
+(`dpvo/netvlad_retrieval.py:24-132`, offline over the whole sequence with an
+on-disk cache). The TPU rebuild computes a VLAD aggregation over the VO
+network's own matching features — no extra backbone, one extra matmul per
+keyframe, and the descriptor inherits whatever discriminative power the
+loaded checkpoint has. The module also mirrors the offline pre-extraction +
+pickle cache workflow.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class VLADDescriptor:
+    """VLAD pooling over [H, W, C] feature maps with K soft-assigned
+    clusters. Centers are data-independent (fixed random rotation of the
+    unit sphere) unless loaded from a trained checkpoint."""
+
+    def __init__(self, num_clusters=16, feat_dim=128, seed=7,
+                 centers=None):
+        if centers is None:
+            key = jax.random.PRNGKey(seed)
+            centers = jax.random.normal(key, (num_clusters, feat_dim))
+            centers = centers / jnp.linalg.norm(centers, axis=-1,
+                                                keepdims=True)
+        self.centers = jnp.asarray(centers)
+        self.K, self.C = self.centers.shape
+        self._extract = jax.jit(self._extract_impl)
+
+    @property
+    def dim(self):
+        return self.K * self.C
+
+    def _extract_impl(self, fmap):
+        """fmap: [H, W, C] -> [K*C] L2-normalized VLAD descriptor."""
+        x = fmap.reshape(-1, self.C).astype(jnp.float32)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+        logits = 16.0 * (x @ self.centers.T)             # soft assignment
+        a = jax.nn.softmax(logits, axis=-1)              # [N, K]
+        resid = x[:, None, :] - self.centers[None]       # [N, K, C]
+        vlad = jnp.sum(a[:, :, None] * resid, axis=0)    # [K, C]
+        # intra-normalization then global L2 (standard NetVLAD recipe)
+        vlad = vlad / jnp.maximum(
+            jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-8)
+        v = vlad.reshape(-1)
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-8)
+
+    def extract(self, fmap):
+        return np.asarray(self._extract(jnp.asarray(fmap)))
+
+
+class DescriptorDatabase:
+    """Keyframe-indexed global-descriptor store with dot-product retrieval.
+
+    Mirrors the reference's `RetrievalNetVLAD(Offline)` database semantics:
+    insert_desc / query_online with a skip window, plus a pickle cache keyed
+    by (skip, end, stride) (`dpvo/netvlad_retrieval.py:76-132`).
+    """
+
+    def __init__(self, dim, capacity=100000, cache_dir=None,
+                 cache_key=None):
+        self.descs = np.zeros((capacity, dim), np.float32)
+        self.has = np.zeros(capacity, bool)
+        self.cache_dir = cache_dir
+        self.cache_key = cache_key
+
+    def insert_desc(self, n, desc):
+        self.descs[n] = desc
+        self.has[n] = True
+
+    def query_online(self, n, skip_window=50, top_k=1):
+        """Best match among frames older than n - skip_window."""
+        hi = n - skip_window
+        if hi <= 0:
+            return None, None
+        cand = np.where(self.has[:hi])[0]
+        if cand.size == 0:
+            return None, None
+        scores = self.descs[cand] @ self.descs[n]
+        order = np.argsort(scores)[::-1][:top_k]
+        return scores[order[0]], int(cand[order[0]])
+
+    # ---- offline cache -------------------------------------------------
+    def cache_path(self):
+        if not self.cache_dir or not self.cache_key:
+            return None
+        skip, end, stride = self.cache_key
+        return Path(self.cache_dir) / \
+            f"features_{skip}_{end}_{stride}.pkl"
+
+    def save_cache(self):
+        p = self.cache_path()
+        if p:
+            p.parent.mkdir(parents=True, exist_ok=True)
+            with open(p, "wb") as f:
+                pickle.dump({"descs": self.descs[self.has],
+                             "idx": np.where(self.has)[0]}, f)
+
+    def load_cache(self):
+        p = self.cache_path()
+        if p and p.exists():
+            with open(p, "rb") as f:
+                data = pickle.load(f)
+            self.descs[data["idx"]] = data["descs"]
+            self.has[data["idx"]] = True
+            return True
+        return False

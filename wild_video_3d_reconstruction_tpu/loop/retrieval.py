@@ -1,0 +1,85 @@
+"""Loop-candidate retrieval protocol (backend-agnostic).
+
+Port of the reference's retrieval bookkeeping
+(`dpvo/loop_closure/retrieval/retrieval_netvlad.py:33-131`): a descriptor
+buffer keyed by keyframe index with renumbering on eviction, deferred
+insertion (`save_up_to`), per-query NMS against previously closed loops,
+and the consecutive-detection repetition check. The child-process queue of
+the reference becomes an optional worker thread (queries are a single
+matvec, so the default is synchronous).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NMS = 50
+SKIP_WINDOW = 50
+
+
+class Retrieval:
+    def __init__(self, database, nms=NMS, skip_window=SKIP_WINDOW):
+        self.db = database
+        self.nms = nms
+        self.skip_window = skip_window
+        self.descriptor_buffer = {}
+        self.stored = np.zeros(100000, dtype=bool)
+        self.pending = []          # query results awaiting consumption
+        self.prev_loop_closes = []
+        self.found = []
+
+    # ---- frame ingest ----------------------------------------------------
+    def add_frame(self, n, desc):
+        """Buffer the descriptor for keyframe slot n (may still be evicted)."""
+        self.descriptor_buffer[n] = desc
+
+    def keyframe(self, k):
+        """Slot k was evicted: renumber buffered (not yet saved) slots."""
+        tmp = dict(self.descriptor_buffer)
+        self.descriptor_buffer.clear()
+        for n, v in tmp.items():
+            if n != k:
+                self.descriptor_buffer[(n - 1) if n > k else n] = v
+
+    def save_up_to(self, c):
+        """Frames <= c can no longer be evicted: commit + query them."""
+        for n in sorted(list(self.descriptor_buffer)):
+            if n <= c:
+                assert not self.stored[n], n
+                desc = self.descriptor_buffer.pop(n)
+                self.db.insert_desc(n, desc)
+                self.stored[n] = True
+                score, j = self.db.query_online(n, self.skip_window, top_k=1)
+                self.pending.append((n, 0.0 if score is None else score, j))
+
+    # ---- loop detection --------------------------------------------------
+    def confirm_loop(self, i, j):
+        assert i > j
+        self.prev_loop_closes.append((i, j))
+
+    def _repetition_check(self, idx, num_repeat):
+        if len(self.found) < num_repeat:
+            return None
+        latest = self.found[-num_repeat:]
+        (b, _), (i, j) = latest[0], latest[1] if num_repeat > 1 else latest[0]
+        if num_repeat >= 2:
+            (b, _), (i, j) = latest[0], latest[1]
+        if (1 + idx - b) == num_repeat:
+            return (i, max(j, 1))
+        return None
+
+    def detect_loop(self, thresh, num_repeat=1):
+        while self.pending:
+            i, score, j = self.pending.pop(0)
+            if score < thresh or j is None:
+                continue
+            assert i > j
+            dists = [np.square(i - a) + np.square(j - b)
+                     for a, b in self.prev_loop_closes]
+            if min(dists, default=np.inf) < self.nms ** 2:
+                continue
+            self.found.append((i, j))
+            cand = self._repetition_check(i, num_repeat)
+            if cand is not None:
+                return cand
+        return None
