@@ -1,0 +1,93 @@
+"""Pallas correlation kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wild_video_3d_reconstruction_tpu.ops import corr as corr_ops
+from wild_video_3d_reconstruction_tpu.ops import pallas_corr
+from wild_video_3d_reconstruction_tpu.ops.patchify import avg_pool2d
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    # run the kernel in interpreter mode on CPU
+    orig = pallas_corr.pl.pallas_call
+    monkeypatch.setattr(pallas_corr.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    yield
+
+
+def make_inputs(key, E=37, F=4, H=32, W=48, C=128, P=3, spread=2.0):
+    ks = jax.random.split(key, 5)
+    gmap = jax.random.normal(ks[0], (F * 8, C, P, P), jnp.float32)
+    fmap = jax.random.normal(ks[1], (F, H, W, C), jnp.float32)
+    fmap2 = avg_pool2d(fmap, 4)
+    centers = jnp.stack([
+        jax.random.uniform(ks[2], (E,), minval=2.0, maxval=W - 3.0),
+        jax.random.uniform(ks[3], (E,), minval=2.0, maxval=H - 3.0),
+    ], axis=-1)
+    # bounded patch spread (real reprojected 3x3 patches span a few px;
+    # the kernel's 16x16 region covers spreads up to 8 px)
+    offs = jnp.clip(spread * jax.random.normal(ks[4], (E, P, P, 2)),
+                    -3.5, 3.5)
+    coords = centers[:, None, None, :] + offs
+    kk = jax.random.randint(jax.random.fold_in(key, 8), (E,), 0, F * 8)
+    jj = jax.random.randint(jax.random.fold_in(key, 9), (E,), 0, F)
+    return gmap, (fmap, fmap2), coords, kk, jj
+
+
+def test_pallas_matches_oracle():
+    gmap, pyr, coords, kk, jj = make_inputs(jax.random.PRNGKey(0))
+    ref = corr_ops.patch_corr_pyramid(gmap, pyr, coords, kk, jj, radius=3)
+    out = pallas_corr.patch_corr_pyramid_pallas(gmap, pyr, coords, kk, jj)
+    # bf16 kernel inputs: compare with a loose-but-meaningful tolerance
+    ref = np.asarray(ref)
+    out = np.asarray(out)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2, \
+        np.abs(out - ref).max() / scale
+
+
+def test_pallas_valid_mask():
+    gmap, pyr, coords, kk, jj = make_inputs(jax.random.PRNGKey(1), E=16)
+    valid = jnp.asarray([1, 0] * 8, jnp.float32)
+    out = pallas_corr.patch_corr_pyramid_pallas(gmap, pyr, coords, kk, jj,
+                                                valid=valid)
+    out = np.asarray(out).reshape(16, -1)
+    assert np.allclose(out[1], 0)
+    assert np.abs(out[0]).max() > 0
+
+
+def test_pallas_out_of_bounds_windows():
+    # coords near/over the image border: padded zeros must reproduce the
+    # oracle's out-of-bounds semantics
+    gmap, pyr, coords, kk, jj = make_inputs(jax.random.PRNGKey(2), E=12)
+    coords = coords.at[:4].add(-6.0)      # push some windows off the edge
+    coords = coords.at[4:8].add(+6.0)
+    ref = np.asarray(corr_ops.patch_corr_pyramid(gmap, pyr, coords, kk, jj,
+                                                 radius=3))
+    out = np.asarray(pallas_corr.patch_corr_pyramid_pallas(
+        gmap, pyr, coords, kk, jj))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2
+
+
+def test_bucketing_roundtrip():
+    jj = jnp.asarray([3, 1, 1, 0, 3, 3, 1], jnp.int32)
+    E = 7
+    n_slots = 5 * pallas_corr.EB
+    slot_edge, slot_of_edge, frame_of_block = pallas_corr._bucket_by_frame(
+        jj, 4, n_slots)
+    slot_edge = np.asarray(slot_edge)
+    slot_of_edge = np.asarray(slot_of_edge)
+    # every edge's slot points back at it
+    for e in range(E):
+        assert slot_edge[slot_of_edge[e]] == e
+    # slots within one block share a frame
+    fb = np.asarray(frame_of_block)
+    for e in range(E):
+        assert fb[slot_of_edge[e] // pallas_corr.EB] == int(jj[e])

@@ -1,20 +1,24 @@
 """DPVO: the host-side SLAM driver around the jitted step functions.
 
 Equivalent of the reference `DPVO` class (`dpvo/dpvo.py:22-875`) with the
-per-frame logic split host/device:
+per-frame logic split host/device for a *remote-attached* TPU, where every
+host<->device value fetch costs ~65 ms:
 
-  device (jitted, state donated): frame insertion, motion probe, tracking
-      (edges + update network + BA), keyframe eviction, edge retirement.
-  host: timestamp bookkeeping, the keyframe threshold comparison, the
-      delta-chain for dropped frames, warm-up gating, trajectory assembly.
+  steady state: ONE donated-state jit dispatch per frame (`steps.frame_step`)
+      -- encoders, patch selection, edge lifecycle, correlation, update
+      operator, bundle adjustment, and the keyframe decision (lax.cond) all
+      on device; per-frame bookkeeping (eviction flag, relative pose, NaN
+      guard, flow metric) is appended to a device-side log.
+  warm-up: the motion-probe gate (`dpvo/dpvo.py:846-850`) still syncs --
+      it only runs for the first ~10 frames.
+  terminate: one bulk fetch of state+log; the timestamp table and the
+      dropped-frame delta chain are reconstructed by replaying the log.
 
-Per frame the host pulls at most two scalars (probe metric / keyframe flow
-magnitude) and, on eviction, one 7-vector — everything else stays in HBM.
+A synchronous per-frame path (`sync_mode=True`) is kept for loop-closure
+runs, which are host-orchestrated by nature.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -30,13 +34,15 @@ from .state import SLAMState, init_state
 class DPVO:
     WARMUP = 10  # frames before initialization (`dpvo/dpvo.py:82`)
 
-    def __init__(self, cfg: DPVOConfig, network, ht, wd, seed=0, path=""):
+    def __init__(self, cfg: DPVOConfig, network, ht, wd, seed=0, path="",
+                 sync_mode=None):
         """network: param pytree, path to a torch .pth checkpoint, or None
         for random initialization."""
         self.cfg = cfg
         self.ht, self.wd = ht, wd
         self.M = cfg.PATCHES_PER_FRAME
         self.path = path
+        self.sync_mode = cfg.loop_enabled if sync_mode is None else sync_mode
 
         if isinstance(network, (str,)):
             self.params = convert.load_torch_checkpoint(network)
@@ -52,17 +58,17 @@ class DPVO:
         self.is_initialized = False
         self.counter = 0          # input frames seen
         self.tlist = []           # input timestamps
+        self.n_host = 0           # accepted keyframes (exact pre-init only)
+        self.parked = []          # counters parked pre-init
         self.tstamps = np.zeros(cfg.BUFFER_SIZE, dtype=np.int64)
-        self.delta = {}           # dropped frame -> (anchor tstamp, dP SE3)
+        self.delta = {}           # dropped frame -> (anchor tstamp, dP)
+        self.loop_closure = None  # optional LongTermLoopClosure
 
         self._build_jits()
 
     # ------------------------------------------------------------------ jit
     def _build_jits(self):
         cfg = self.cfg
-
-        def donate(fn, static=()):
-            return jax.jit(fn, donate_argnums=(0,), static_argnums=static)
 
         self._insert = {}
         for has_depth in (False, True):
@@ -77,6 +83,18 @@ class DPVO:
                 self._insert[(has_depth, has_mask)] = jax.jit(
                     fn, donate_argnums=(0,), static_argnums=(8,))
 
+        self._frame = {}
+        for has_depth in (False, True):
+            for has_mask in (False, True):
+                def ffn(state, params, image, intr, key, fac, depth, mask,
+                        _d=has_depth, _m=has_mask):
+                    return steps.frame_step(
+                        cfg, params, state, image, intr, key, fac,
+                        depth=depth if _d else None,
+                        mask=mask if _m else None)
+                self._frame[(has_depth, has_mask)] = jax.jit(
+                    ffn, donate_argnums=(0,))
+
         self._probe = jax.jit(
             lambda state, params: steps.motion_probe(cfg, params, state))
         self._track = jax.jit(
@@ -85,11 +103,20 @@ class DPVO:
         self._update_only = jax.jit(
             lambda state, params, t0: steps.update_op(cfg, params, state, t0),
             donate_argnums=(0,))
+
+        def _refine(state, params):
+            t0 = jnp.maximum(state.n_frames - cfg.OPTIMIZATION_WINDOW, 1)
+            return steps.update_op(cfg, params, state, t0)
+
+        self._refine_step = jax.jit(_refine, donate_argnums=(0,))
         self._keyframe = jax.jit(
             lambda state: steps.keyframe_shift(cfg, state),
             donate_argnums=(0,))
         self._append = jax.jit(
             lambda state: steps.append_edges(cfg, state), donate_argnums=(0,))
+        self._retire = jax.jit(
+            lambda state: steps.retire_and_compact(cfg, state),
+            donate_argnums=(0,))
 
     # ------------------------------------------------------------ properties
     @property
@@ -109,78 +136,123 @@ class DPVO:
         """Track one frame. image: [H, W, 3] uint8 numpy (BGR);
         depth: [H, W] float metric depth or None; mask: [H, W] bool or None;
         intrinsics: [4] (fx, fy, cx, cy) full resolution."""
-        if self.n + 1 >= self.cfg.BUFFER_SIZE:
-            raise RuntimeError(
-                "buffer full — increase cfg.BUFFER_SIZE (--buffer)")
+        if self.counter + 1 >= self.cfg.BUFFER_SIZE + len(self.delta):
+            if self.n + 1 >= self.cfg.BUFFER_SIZE:
+                raise RuntimeError(
+                    "buffer full — increase cfg.BUFFER_SIZE (--buffer)")
 
         self.tlist.append(tstamp)
-        self.tstamps[self.n] = self.counter
 
         # damped-linear timestamp ratio (`dpvo/dpvo.py:808-810`)
         *_, a, b, c = [1] * 3 + self.tlist
         fac = float(c - b) / max(float(b - a), 1e-6)
 
         self.key, sub = jax.random.split(self.key)
-        insert = self._insert[(depth is not None, mask is not None)]
         zero_img = np.zeros((1, 1), np.float32)
-        self.state = insert(
-            self.state, self.params, jnp.asarray(image),
-            jnp.asarray(np.asarray(intrinsics), dtype=jnp.float32), sub,
-            jnp.float32(fac),
-            jnp.asarray(depth if depth is not None else zero_img,
-                        dtype=jnp.float32),
-            jnp.asarray(mask if mask is not None else zero_img > 0),
-            self.is_initialized)
+        dep = jnp.asarray(depth if depth is not None else zero_img,
+                          dtype=jnp.float32)
+        msk = jnp.asarray(mask if mask is not None else zero_img > 0)
+        img = jnp.asarray(image)
+        intr = jnp.asarray(np.asarray(intrinsics), dtype=jnp.float32)
+        sig = (depth is not None, mask is not None)
 
+        if self.is_initialized and not self.sync_mode:
+            # steady state: one dispatch, no host fetches
+            self.state = self._frame[sig](
+                self.state, self.params, img, intr, sub, jnp.float32(fac),
+                dep, msk)
+            self.counter += 1
+            return
+
+        # --- warm-up / synchronous path ---------------------------------
+        self.state = self._insert[sig](
+            self.state, self.params, img, intr, sub, jnp.float32(fac),
+            dep, msk, self.is_initialized)
+        self.tstamps[self.n_host] = self.counter
         self.counter += 1
 
-        if self.n > 0 and not self.is_initialized:
+        if self.n_host > 0 and not self.is_initialized:
             if float(self._probe(self.state, self.params)) < 2.0:
-                # not enough motion: park the frame behind an identity delta
-                self.delta[self.counter - 1] = (self.counter - 2,
-                                                np.asarray(lie.se3_identity(())))
+                self.parked.append(self.counter - 1)
+                self.delta[self.counter - 1] = (
+                    self.counter - 2, np.asarray(lie.se3_identity(())))
                 return
 
         # accept the frame
         self.state = self.state._replace(n_frames=self.state.n_frames + 1)
+        self.n_host += 1
 
-        if self.n == self.WARMUP and not self.is_initialized:
+        if self.loop_closure is not None:
+            self.loop_closure(np.asarray(image), self.n_host - 1,
+                              self.counter - 1)
+
+        if self.n_host == self.WARMUP and not self.is_initialized:
             self.is_initialized = True
             self.state = self._append(self.state)
             for _ in range(12):
                 self.state = self._update_only(self.state, self.params,
                                                jnp.int32(1))
-            self._retire()
+            self.state = self._retire(self.state)
         elif self.is_initialized:
+            # synchronous tracked frame (loop-closure mode)
             self.state, mm = self._track(self.state, self.params)
             if float(mm) / 2.0 < self.cfg.KEYFRAME_THRESH:
-                k = self.n - self.cfg.KEYFRAME_INDEX
+                k = self.n_host - self.cfg.KEYFRAME_INDEX
                 t0 = int(self.tstamps[k - 1])
                 t1 = int(self.tstamps[k])
                 self.state, dP = self._keyframe(self.state)
                 self.delta[t1] = (t0, np.asarray(dP))
-                self.tstamps[k:self.n] = self.tstamps[k + 1:self.n + 1]
+                self.tstamps[k:self.n_host] = self.tstamps[k + 1:
+                                                           self.n_host + 1]
+                self.n_host -= 1
+                if self.loop_closure is not None:
+                    self.loop_closure.keyframe(k)
             else:
                 pose_k = np.asarray(
-                    self.state.poses[self.n - self.cfg.KEYFRAME_INDEX])
+                    self.state.poses[self.n_host - self.cfg.KEYFRAME_INDEX])
                 if np.any(np.isnan(pose_k)):
                     raise FloatingPointError("estimated pose is NaN")
         else:
             # pre-initialization: accumulate factors only
             self.state = self._append(self.state)
 
-    def _retire(self):
-        self.state = jax.jit(
-            lambda s: steps.retire_and_compact(self.cfg, s),
-            donate_argnums=(0,))(self.state)
+        if self.loop_closure is not None and self.is_initialized:
+            self.loop_closure.attempt_loop_closure(self.n_host)
+
+    # ---------------------------------------------------- log-based replay
+    def _replay_log(self):
+        """Rebuild tstamps/delta from the device event log (async mode)."""
+        if self.sync_mode or getattr(self, "_replayed", False):
+            return
+        self._replayed = True
+        log = np.asarray(self.state.log)
+        n_events = int(self.state.log_idx)
+        n = self.n_host                      # keyframes at initialization
+        tstamps = list(self.tstamps[:n])
+        # tracked frames are the post-init inputs, in order
+        first_tracked = self.counter - n_events
+        for e in range(n_events):
+            c = first_tracked + e
+            tstamps.append(c)
+            n += 1
+            removed, dP, mm, nan_flag = (log[e, 0], log[e, 1:8], log[e, 8],
+                                         log[e, 9])
+            if removed > 0.5:
+                k = n - self.cfg.KEYFRAME_INDEX
+                t0, t1 = tstamps[k - 1], tstamps[k]
+                self.delta[int(t1)] = (int(t0), dP.astype(np.float32))
+                del tstamps[k]
+                n -= 1
+            if nan_flag > 0.5:
+                print(f"WARNING: NaN pose detected near input frame {c}")
+        self.tstamps[:n] = tstamps
+        self.n_host = n
 
     # ------------------------------------------------------------- terminate
     def refine(self, iterations=12):
         """Final refinement updates (`dpvo_demo.py:120-121`)."""
         for _ in range(iterations):
-            n = self.n
-            t0 = jnp.int32(max(n - self.cfg.OPTIMIZATION_WINDOW, 1))
-            self.state = self._update_only(self.state, self.params, t0)
+            self.state = self._refine_step(self.state, self.params)
 
     def get_pose(self, traj, t):
         if t in traj:
@@ -194,8 +266,12 @@ class DPVO:
 
         Mirrors `DPVO.terminate` (`dpvo/dpvo.py:282-303`).
         """
+        if self.loop_closure is not None:
+            self.loop_closure.terminate(self.n_host)
+        self._replay_log()
+        n = self.n_host
         poses_np = np.asarray(self.state.poses)
-        traj = {int(self.tstamps[i]): poses_np[i] for i in range(self.n)}
+        traj = {int(self.tstamps[i]): poses_np[i] for i in range(n)}
         out = [self.get_pose(traj, t) for t in range(self.counter)]
         out = np.stack(out)
         out = np.asarray(lie.se3_inv(jnp.asarray(out)))   # w2c -> c2w
@@ -204,10 +280,11 @@ class DPVO:
     def points_and_colors(self):
         """World points + RGB colors for the live map (`dpvo/dpvo.py:255-273`)."""
         m = self.m
+        n = self.n
         pts = np.asarray(self.state.points[:m])
         clr = np.asarray(self.state.colors).reshape(-1, 3)[:m]
         patches = np.asarray(self.state.patches[:m])
-        d = patches[:, 2, 1, 1].reshape(self.n, self.M)
+        d = patches[:, 2, 1, 1].reshape(n, self.M)
         med = np.median(d, axis=1, keepdims=True)
         sel = ((d > 1.0 * med) & (d < 4.0 * med)).reshape(-1)
         return pts[sel], clr[sel]

@@ -55,6 +55,13 @@ class SLAMState(NamedTuple):
     n_frames: jnp.ndarray       # int32, number of accepted keyframes
     n_edges: jnp.ndarray        # int32, used slots in the edge table
 
+    # ---- per-frame event log (device-side; fetched once at terminate) ----
+    # [LOG_CAP, 10]: (removed_flag, dP[7], flow_metric, nan_flag)
+    # Avoids the ~65 ms host<->device round-trip per frame that a
+    # host-side keyframe decision would cost on a remote-attached TPU.
+    log: jnp.ndarray
+    log_idx: jnp.ndarray        # int32
+
 
 def init_state(cfg, ht, wd, feat_dtype=jnp.bfloat16):
     """Allocate the full state for images of size (ht, wd)."""
@@ -86,4 +93,6 @@ def init_state(cfg, ht, wd, feat_dtype=jnp.bfloat16):
         weight=jnp.zeros((E, 2), jnp.float32),
         n_frames=jnp.asarray(0, jnp.int32),
         n_edges=jnp.asarray(0, jnp.int32),
+        log=jnp.zeros((getattr(cfg, "LOG_CAP", 8192), 10), jnp.float32),
+        log_idx=jnp.asarray(0, jnp.int32),
     )

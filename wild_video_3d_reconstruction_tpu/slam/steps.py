@@ -147,11 +147,19 @@ def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n):
                             ii, jj, kk)                     # [E, P, P, 2]
     coords = jnp.where(valid[:, None, None, None], coords, 0.0)
 
-    corr = patch_corr_pyramid(
-        state.gmap, (state.fmap1, state.fmap2),
-        coords.astype(jnp.float32),
-        jnp.mod(kk, M * pmem), jnp.mod(jj, pmem),
-        radius=3, valid=valid, chunk=cfg.CORR_CHUNK)        # [E, 882]
+    if cfg.PALLAS_CORR and jax.default_backend() != "cpu":
+        from ..ops.pallas_corr import patch_corr_pyramid_pallas
+        corr = patch_corr_pyramid_pallas(
+            state.gmap, (state.fmap1, state.fmap2),
+            coords.astype(jnp.float32),
+            jnp.mod(kk, M * pmem), jnp.mod(jj, pmem),
+            radius=3, valid=valid)                          # [E, 882]
+    else:
+        corr = patch_corr_pyramid(
+            state.gmap, (state.fmap1, state.fmap2),
+            coords.astype(jnp.float32),
+            jnp.mod(kk, M * pmem), jnp.mod(jj, pmem),
+            radius=3, valid=valid, chunk=cfg.CORR_CHUNK)    # [E, 882]
 
     ctx = state.imap[jnp.mod(kk, M * pmem)]
 
@@ -321,7 +329,7 @@ def flow_metric(cfg, state: SLAMState, i, j):
 # keyframe eviction
 # ---------------------------------------------------------------------------
 
-def keyframe_shift(cfg, state: SLAMState):
+def keyframe_shift(cfg, state: SLAMState, retire=True):
     """Evict keyframe k = n - KEYFRAME_INDEX: record its relative pose,
     drop its edges, renumber, and shift every buffer left by one
     (`dpvo/dpvo.py:611-645`) — implemented as parallel gathers instead of
@@ -380,12 +388,61 @@ def keyframe_shift(cfg, state: SLAMState):
         ii=ii, jj=jj, kk=kk, valid=valid,
         n_frames=n - 1,
     )
-    return retire_and_compact(cfg, state), dP
+    if retire:
+        state = retire_and_compact(cfg, state)
+    return state, dP
 
 
 # ---------------------------------------------------------------------------
-# fused per-frame tracking step
+# fully fused per-frame step: insert + track + ON-DEVICE keyframe decision
 # ---------------------------------------------------------------------------
+# A remote-attached TPU pays ~65 ms for every host<->device value fetch, so
+# the steady-state loop must run without reading anything back: the keyframe
+# threshold comparison (`dpvo/dpvo.py:612`) becomes a lax.cond, and the
+# bookkeeping the host needs (removal flags, relative poses, NaN guards) is
+# appended to a device-side log replayed once at terminate().
+
+def track_and_keyframe(cfg, params, state: SLAMState):
+    state = append_edges(cfg, state)
+    n = state.n_frames
+    t0 = jnp.maximum(n - cfg.OPTIMIZATION_WINDOW, 1)
+    state = update_op(cfg, params, state, t0)
+
+    i = n - cfg.KEYFRAME_INDEX - 1
+    j = n - cfg.KEYFRAME_INDEX + 1
+    mm = flow_metric(cfg, state, i, j)
+
+    def do_remove(st):
+        st2, dP = keyframe_shift(cfg, st, retire=False)
+        return st2, dP, jnp.float32(1.0)
+
+    def no_remove(st):
+        k = st.n_frames - cfg.KEYFRAME_INDEX
+        nan_flag = jnp.any(jnp.isnan(st.poses[k])).astype(jnp.float32)
+        ident = jnp.zeros((7,), jnp.float32).at[6].set(1.0)
+        return st, ident, jnp.float32(0.0) + 0.0 * nan_flag
+
+    remove = (mm / 2.0) < cfg.KEYFRAME_THRESH
+    state, dP, removed = jax.lax.cond(remove, do_remove, no_remove, state)
+    nan_flag = jnp.any(jnp.isnan(
+        state.poses[jnp.maximum(state.n_frames - cfg.KEYFRAME_INDEX, 0)])
+    ).astype(jnp.float32)
+
+    entry = jnp.concatenate([removed[None], dP, mm[None], nan_flag[None]])
+    state = state._replace(
+        log=state.log.at[state.log_idx].set(entry),
+        log_idx=state.log_idx + 1)
+    return retire_and_compact(cfg, state)
+
+
+def frame_step(cfg, params, state: SLAMState, image, intrinsics, key, fac,
+               depth=None, mask=None):
+    """insert + track + keyframe, one dispatch, zero host fetches."""
+    state = insert_frame(cfg, params, state, image, intrinsics, key, fac,
+                         None, depth=depth, mask=mask, initialized=True)
+    state = state._replace(n_frames=state.n_frames + 1)
+    return track_and_keyframe(cfg, params, state)
+
 
 def track_step(cfg, params, state: SLAMState):
     """append factors -> update -> keyframe flow metric -> retire old edges.

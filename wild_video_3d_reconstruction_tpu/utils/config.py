@@ -48,6 +48,8 @@ class DPVOConfig:
     CORR_CHUNK: int = 4096
     # use the Pallas TPU correlation kernel when available
     PALLAS_CORR: bool = True
+    # device-side per-frame event log capacity (>= total input frames)
+    LOG_CAP: int = 8192
 
     def merge_from_file(self, path):
         import yaml
