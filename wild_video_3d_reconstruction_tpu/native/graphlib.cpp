@@ -16,6 +16,7 @@
 // Build: native/build.py (g++ -O3 -shared).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <map>
