@@ -48,7 +48,7 @@ def main():
     slam = DPVO(cfg, None, HT, WD, seed=0)
     # random weights would stall the motion-probe gate; force acceptance so
     # the benchmark exercises the full steady-state tracking path
-    slam._probe = lambda *a: jnp.float32(100.0)
+    slam._probe = lambda *a: 100.0
 
     intr = np.array([400.0, 400.0, WD / 2, HT / 2])
     frames = synthetic_frames(args.frames)

@@ -4,7 +4,7 @@ Equivalent of the reference `DPVO` class (`dpvo/dpvo.py:22-875`) with the
 per-frame logic split host/device for a *remote-attached* TPU, where every
 host<->device value fetch costs ~65 ms:
 
-  steady state: ONE donated-state jit dispatch per frame (`steps.frame_step`)
+  steady state: ONE jit dispatch per frame (`steps.frame_step`)
       -- encoders, patch selection, edge lifecycle, correlation, update
       operator, bundle adjustment, and the keyframe decision (lax.cond) all
       on device; per-frame bookkeeping (eviction flag, relative pose, NaN
@@ -80,8 +80,11 @@ class DPVO:
                         depth=depth if _d else None,
                         mask=mask if _m else None,
                         initialized=initialized)
+                # NOTE: no buffer donation — donated executions fault the
+                # remote (axon-relayed) TPU worker; the extra state copy is
+                # ~0.3 ms/frame of HBM traffic.
                 self._insert[(has_depth, has_mask)] = jax.jit(
-                    fn, donate_argnums=(0,), static_argnums=(8,))
+                    fn, static_argnums=(8,))
 
         self._frame = {}
         for has_depth in (False, True):
@@ -92,31 +95,24 @@ class DPVO:
                         cfg, params, state, image, intr, key, fac,
                         depth=depth if _d else None,
                         mask=mask if _m else None)
-                self._frame[(has_depth, has_mask)] = jax.jit(
-                    ffn, donate_argnums=(0,))
+                self._frame[(has_depth, has_mask)] = jax.jit(ffn)
 
         self._probe = jax.jit(
             lambda state, params: steps.motion_probe(cfg, params, state))
         self._track = jax.jit(
-            lambda state, params: steps.track_step(cfg, params, state),
-            donate_argnums=(0,))
+            lambda state, params: steps.track_step(cfg, params, state))
         self._update_only = jax.jit(
-            lambda state, params, t0: steps.update_op(cfg, params, state, t0),
-            donate_argnums=(0,))
+            lambda state, params, t0: steps.update_op(cfg, params, state, t0))
 
         def _refine(state, params):
             t0 = jnp.maximum(state.n_frames - cfg.OPTIMIZATION_WINDOW, 1)
             return steps.update_op(cfg, params, state, t0)
 
-        self._refine_step = jax.jit(_refine, donate_argnums=(0,))
-        self._keyframe = jax.jit(
-            lambda state: steps.keyframe_shift(cfg, state),
-            donate_argnums=(0,))
-        self._append = jax.jit(
-            lambda state: steps.append_edges(cfg, state), donate_argnums=(0,))
+        self._refine_step = jax.jit(_refine)
+        self._keyframe = jax.jit(lambda state: steps.keyframe_shift(cfg, state))
+        self._append = jax.jit(lambda state: steps.append_edges(cfg, state))
         self._retire = jax.jit(
-            lambda state: steps.retire_and_compact(cfg, state),
-            donate_argnums=(0,))
+            lambda state: steps.retire_and_compact(cfg, state))
 
     # ------------------------------------------------------------ properties
     @property
@@ -268,6 +264,9 @@ class DPVO:
         """
         if self.loop_closure is not None:
             self.loop_closure.terminate(self.n_host)
+        if self.cfg.ENABLE_GLOBAL_BA:
+            from .global_ba import run_global_ba
+            run_global_ba(self.cfg, self)
         self._replay_log()
         n = self.n_host
         poses_np = np.asarray(self.state.poses)
@@ -276,6 +275,64 @@ class DPVO:
         out = np.stack(out)
         out = np.asarray(lie.se3_inv(jnp.asarray(out)))   # w2c -> c2w
         return out, np.array(self.tlist, dtype=np.float64)
+
+    def geo_consistency_check(self, query_frame, fixed_frame, thresh=4.0):
+        """Inlier ratio of the live edges from `query_frame` into frames
+        <= `fixed_frame` (`DPVO.geo_consistency_check`,
+        `dpvo/dpvo.py:689-709`): fraction with small reprojection residual
+        and in-bounds coordinates."""
+        st = self.state
+        ii = np.asarray(st.ii)
+        jj = np.asarray(st.jj)
+        valid = np.asarray(st.valid)
+        coords = np.asarray(st.target)            # network targets
+        from ..ops import projective as pops
+        reproj = np.asarray(pops.transform(
+            st.poses, st.patches, st.intrinsics, st.ii, st.jj, st.kk)
+        )[:, 1, 1, :]
+        m = valid & (ii == query_frame) & (jj <= fixed_frame)
+        if m.sum() == 0:
+            return query_frame, 0.0
+        r = np.linalg.norm(reproj[m] - coords[m], axis=-1)
+        intr = np.asarray(self.state.intrinsics[0])
+        cx, cy = intr[2], intr[3]
+        xb = (reproj[m, 0] > -cx) & (reproj[m, 0] < 3 * cx)
+        yb = (reproj[m, 1] > -cy) & (reproj[m, 1] < 3 * cy)
+        inlier_ratio = float(((r < thresh) & xb & yb).mean())
+        return query_frame, inlier_ratio
+
+    def save_inlier_ratio_record(self, path):
+        """Write per-keyframe inlier ratios + a diagnostic plot
+        (`dpvo/dpvo.py:179-205`)."""
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        n = self.n_host
+        record = {}
+        lo = max(n - self.cfg.OPTIMIZATION_WINDOW + 2, 1)
+        for i in range(lo, n + 1):
+            _, ratio = self.geo_consistency_check(i, i - 1)
+            record[int(self.tstamps[min(i, n - 1)])] = ratio
+        with open(f"{path}/inlier_ratio_record.txt", "w") as f:
+            for k, v in record.items():
+                f.write(f"{k} {v}\n")
+        with open(f"{path}/time_stamp.txt", "w") as f:
+            for i in range(n):
+                f.write(f"{int(self.tstamps[i])}\n")
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            xs = list(record.keys())
+            ys = list(record.values())
+            plt.plot(xs, ys, label="inlier ratio")
+            plt.xlabel("frame timestamp")
+            plt.ylabel("inlier ratio")
+            plt.savefig(f"{path}/inlier_ratio_record.png")
+            plt.close()
+        except Exception:
+            pass
+        return record
 
     def points_and_colors(self):
         """World points + RGB colors for the live map (`dpvo/dpvo.py:255-273`)."""

@@ -13,7 +13,7 @@ import dataclasses
 from dataclasses import dataclass
 
 
-@dataclass
+@dataclass(frozen=True)
 class DPVOConfig:
     # max number of keyframes (buffer capacity)
     BUFFER_SIZE: int = 2048
