@@ -109,48 +109,52 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
     lj = jj - t0
     oki = (li >= 0) & (li < (t1 - t0)) & (li < W_)
     okj = (lj >= 0) & (lj < (t1 - t0)) & (lj < W_)
-    lic = jnp.clip(li, 0, W_ - 1)
-    ljc = jnp.clip(lj, 0, W_ - 1)
     q = kk - m_base                                # local patch slot
     okq = (q >= 0) & (q < M_)
-    qc = jnp.clip(q, 0, M_ - 1)
 
     wJi = w[:, :, None] * Ji                       # [E, 2, 6]
     wJj = w[:, :, None] * Jj
     wJz = w * Jz                                   # [E, 2]
 
-    def seg_mat(A, rows, cols, ok):
-        ids = jnp.where(ok, rows * W_ + cols, W_ * W_)
-        return jax.ops.segment_sum(A, ids, num_segments=W_ * W_ + 1)[:-1] \
-            .reshape(W_, W_, 6, 6)
+    # One-hot matmul accumulation: TPU scatter lowering is ~10x slower than
+    # MXU matmuls at these sizes, so the CUDA kernel's atomicAdd pattern
+    # (`ba_cuda.cu:294-322`) becomes dense contractions against 0/1
+    # selection matrices (exact — the one-hots are exact in fp32).
+    iw = jnp.arange(W_)
+    oh_i = ((li[:, None] == iw) & oki[:, None]).astype(jnp.float32)  # [E, W]
+    oh_j = ((lj[:, None] == iw) & okj[:, None]).astype(jnp.float32)
+    oh_q = ((q[:, None] == jnp.arange(M_)) &
+            okq[:, None]).astype(jnp.float32)                        # [E, M]
+
+    def pair_sum(A, oh_r, oh_c):
+        # [W*W, 36] = sum_e (oh_r ⊗ oh_c)[e] * A[e]
+        pair = jnp.einsum("ew,ev->ewv", oh_r, oh_c).reshape(E, W_ * W_)
+        return jnp.dot(pair.T, A.reshape(E, 36),
+                       preferred_element_type=jnp.float32)
 
     Bii = jnp.einsum("eri,erj->eij", wJi, Ji)
     Bij = jnp.einsum("eri,erj->eij", wJi, Jj)
     Bji = jnp.einsum("eri,erj->eij", wJj, Ji)
     Bjj = jnp.einsum("eri,erj->eij", wJj, Jj)
-    B = (seg_mat(Bii, lic, lic, oki)
-         + seg_mat(Bij, lic, ljc, oki & okj)
-         + seg_mat(Bji, ljc, lic, oki & okj)
-         + seg_mat(Bjj, ljc, ljc, okj))
-    B = jnp.transpose(B, (0, 2, 1, 3)).reshape(6 * W_, 6 * W_)
-
-    def seg_vec(A, rows, ok, num):
-        ids = jnp.where(ok, rows, num)
-        return jax.ops.segment_sum(A, ids, num_segments=num + 1)[:-1]
+    B = (pair_sum(Bii, oh_i, oh_i) + pair_sum(Bij, oh_i, oh_j)
+         + pair_sum(Bji, oh_j, oh_i) + pair_sum(Bjj, oh_j, oh_j))
+    B = B.reshape(W_, W_, 6, 6).transpose(0, 2, 1, 3).reshape(6 * W_, 6 * W_)
 
     Eik = jnp.einsum("er,eri->ei", wJz, Ji)        # [E, 6]
     Ejk = jnp.einsum("er,eri->ei", wJz, Jj)
-    ids_ik = jnp.where(oki & okq, lic * M_ + qc, W_ * M_)
-    ids_jk = jnp.where(okj & okq, ljc * M_ + qc, W_ * M_)
-    Em = (jax.ops.segment_sum(Eik, ids_ik, num_segments=W_ * M_ + 1)[:-1]
-          + jax.ops.segment_sum(Ejk, ids_jk, num_segments=W_ * M_ + 1)[:-1])
-    Em = Em.reshape(W_, M_, 6).transpose(0, 2, 1).reshape(6 * W_, M_)
+    tmp = (jnp.einsum("ew,ec->ewc", oh_i, Eik)
+           + jnp.einsum("ew,ec->ewc", oh_j, Ejk)).reshape(E, W_ * 6)
+    Em = jnp.dot(tmp.T, oh_q,
+                 preferred_element_type=jnp.float32)           # [W*6, M]
+    Em = Em.reshape(W_, 6, M_).reshape(6 * W_, M_)
 
-    C = seg_vec(jnp.sum(wJz * Jz, -1), qc, okq, M_)            # [M]
-    u = seg_vec(jnp.sum(wJz * r, -1), qc, okq, M_)             # [M]
+    cu = jnp.stack([jnp.sum(wJz * Jz, -1), jnp.sum(wJz * r, -1)], -1)
+    CU = jnp.dot(oh_q.T, cu, preferred_element_type=jnp.float32)  # [M, 2]
+    C, u = CU[:, 0], CU[:, 1]
     vi = jnp.einsum("er,eri->ei", w * r, Ji)
     vj = jnp.einsum("er,eri->ei", w * r, Jj)
-    v = (seg_vec(vi, lic, oki, W_) + seg_vec(vj, ljc, okj, W_))
+    v = (jnp.dot(oh_i.T, vi, preferred_element_type=jnp.float32)
+         + jnp.dot(oh_j.T, vj, preferred_element_type=jnp.float32))
     v = v.reshape(6 * W_)
 
     Q = 1.0 / (C + lam)                                        # [M]
@@ -180,7 +184,8 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
 
     # ---- depth retraction (only patches with observations) ---------------
     Nk = patches.shape[0]
-    touched = seg_vec(mask * valid, qc, okq, M_) > 0
+    touched = jnp.dot(oh_q.T, mask * valid,
+                      preferred_element_type=jnp.float32) > 0
     slots = jnp.arange(M_)
     plive = touched & (m_base + slots < Nk) & (m_base + slots >= 0)
     pidx = jnp.where(plive, jnp.clip(m_base + slots, 0, Nk - 1), Nk)

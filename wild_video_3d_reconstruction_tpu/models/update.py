@@ -18,7 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.segment import segment_softmax_weighted_sum
+from ..ops.segment import (segment_softmax_weighted_sum,
+                           segment_softmax_weighted_sum_dense)
 from .layers import (gradient_clip, init_layer_norm, init_linear, layer_norm,
                      linear)
 
@@ -46,10 +47,19 @@ def _gated_residual(params, x):
 
 
 def _soft_agg(params, x, seg_ids, num_segments, valid):
-    """SoftAgg (`dpvo/blocks.py:31-48`) with bounded segment ids."""
+    """SoftAgg (`dpvo/blocks.py:31-48`) with bounded segment ids.
+
+    Uses the one-hot-matmul formulation when the segment count is modest
+    (always true for the sliding-window SLAM groups) — TPU scatters are an
+    order of magnitude slower than the equivalent MXU matmuls."""
     f = linear(params["f"], x)
     g = linear(params["g"], x)
-    y = segment_softmax_weighted_sum(f, g, seg_ids, num_segments, valid=valid)
+    if num_segments <= 4096:
+        y = segment_softmax_weighted_sum_dense(f, g, seg_ids, num_segments,
+                                               valid=valid)
+    else:
+        y = segment_softmax_weighted_sum(f, g, seg_ids, num_segments,
+                                         valid=valid)
     return linear(params["h"], y)
 
 

