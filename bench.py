@@ -58,11 +58,13 @@ def main():
     for t, img in enumerate(frames):
         slam(t, img, intrinsics=intr)
         if t == args.warmup - 1:
-            jax.block_until_ready(slam.state.poses)
+            # a VALUE fetch is the only true device sync on a relay-attached
+            # TPU (block_until_ready returns immediately there)
+            _ = np.asarray(slam.state.poses[:1])
             t_start = time.perf_counter()
         elif t >= args.warmup:
             n_timed += 1
-    jax.block_until_ready(slam.state.poses)
+    _ = np.asarray(slam.state.poses[:1])
     elapsed = time.perf_counter() - t_start
     fps = n_timed / elapsed
 

@@ -1,0 +1,47 @@
+"""NeRF training drivers (nerfstudio CLI orchestration).
+
+Port of `nerf_train/nerf_train.py:11-86`: shells out to `ns-train nerfacto`
+over prepared dataset clips. nerfstudio is an external tool; the driver
+degrades gracefully when it is not installed.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+from pathlib import Path
+
+
+def run_ns_train(data_path, max_iterations=30000, eval_mode="interval",
+                 eval_interval=8, vis="tensorboard", method="nerfacto"):
+    """Run one `ns-train` job; returns True on success."""
+    if shutil.which("ns-train") is None:
+        print("ns-train not found — install nerfstudio to train NeRFs. "
+              f"Prepared data is ready at {data_path}.")
+        return False
+    command = [
+        "ns-train", method,
+        "--data", str(data_path),
+        "--max-num-iterations", str(max_iterations),
+        "--vis", vis,
+        "nerfstudio-data",
+        "--eval-mode", eval_mode,
+        "--eval-interval", str(eval_interval),
+    ]
+    print("Running:", " ".join(command))
+    proc = subprocess.run(command, capture_output=True, text=True)
+    if proc.returncode != 0:
+        print(proc.stdout[-2000:])
+        print(proc.stderr[-2000:])
+        return False
+    return True
+
+
+def train_clips(base_dir, pattern="*_select_*", **kwargs):
+    """Batch driver over prepared clip directories
+    (`nerf_train/nerf_train.py:69-82`)."""
+    results = {}
+    for clip in sorted(Path(base_dir).glob(pattern)):
+        if (clip / "transforms.json").exists():
+            results[clip.name] = run_ns_train(clip, **kwargs)
+    return results
