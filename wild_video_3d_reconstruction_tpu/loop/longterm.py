@@ -68,8 +68,7 @@ class LongTermLoopClosure:
         through the shared `bundle_adjust` (t0 == t1 -> depth-only solve).
         """
         images = self.imcache.load_frames([i - 1, i, i + 1])
-        fmaps = [np.asarray(self._encode(self.slam.params,
-                                         jnp.asarray(im))[0])
+        fmaps = [np.asarray(self._encode(self.slam.params, jnp.asarray(im)))
                  for im in images]
 
         feats = []

@@ -276,6 +276,30 @@ class DPVO:
         out = np.asarray(lie.se3_inv(jnp.asarray(out)))   # w2c -> c2w
         return out, np.array(self.tlist, dtype=np.float64)
 
+    def normalize(self):
+        """Normalize map scale (mean inverse depth -> 1) and rebase the
+        trajectory on the first pose (`PatchGraph.normalize`,
+        `dpvo/patchgraph.py:68-79`); the dropped-frame delta chain is
+        rescaled to stay consistent."""
+        st = self.state
+        n = self.n
+        M = self.M
+        patches = np.array(st.patches)
+        poses = np.array(st.poses)
+        s = float(np.mean(patches[:n * M, 2]))
+        patches[:n * M, 2] /= s
+        poses[:n, :3] *= s
+        rebased = lie.se3_mul(jnp.asarray(poses[:n]),
+                              jnp.broadcast_to(lie.se3_inv(
+                                  jnp.asarray(poses[0])), (n, 7)))
+        poses[:n] = np.asarray(rebased)
+        self.state = st._replace(poses=jnp.asarray(poses),
+                                 patches=jnp.asarray(patches))
+        for t, (t0, dP) in list(self.delta.items()):
+            dP2 = np.asarray(dP, np.float32).copy()
+            dP2[:3] *= s
+            self.delta[t] = (t0, dP2)
+
     def geo_consistency_check(self, query_frame, fixed_frame, thresh=4.0):
         """Inlier ratio of the live edges from `query_frame` into frames
         <= `fixed_frame` (`DPVO.geo_consistency_check`,
