@@ -18,7 +18,7 @@ def test_mesh_factorization():
 
 @pytest.mark.slow
 def test_sharded_train_step_runs():
-    tc = TrainConfig(frames=4, patches=4, steps=2)
+    tc = TrainConfig(frames=4, patches=4, steps=1)
     mesh = make_mesh(8)
     params = init_vonet(jax.random.PRNGKey(0))
     step, params, opt_state = build_train_step(mesh, params, tc)
