@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-EB = 8          # edges per kernel block
+EB = 32         # edges per kernel block
 # The x (sublane) origin is 16-aligned — the bf16 VMEM tile is (16, 128),
 # so coarser alignment makes the per-edge region copies pure tile moves.
 # y is an outer (untiled) dim: unaligned, exact-min origin. The region
@@ -52,27 +52,20 @@ P16 = 16        # pixels padded to one bf16 sublane tile
 RN = RSH * RSW  # region positions per edge
 
 
-def _corr_kernel(frames_ref, origin_ref, g_ref, fmap_ref, out_ref, a_buf):
-    # build the stacked region matrix A [EB*RN, C]
+def _corr_kernel(frames_ref, origin_ref, g_ref, fmap_ref, out_ref):
+    # per-edge product G_e [P16, C] x region^T [C, RN] straight from the
+    # tile-aligned region slice — no scratch, no diagonal extraction, no
+    # Mosaic relayouts (x origin 16-aligned, pixel rows P16-padded).
+    # bf16 output halves VMEM/HBM cost; the reference computes correlation
+    # under fp16 autocast anyway (`dpvo/dpvo.py:716-720`).
     for e in range(EB):
         oy = origin_ref[e, 0]
         ox = pl.multiple_of(origin_ref[e, 1], 16)
         region = fmap_ref[0, pl.ds(oy, RSH), pl.ds(ox, RSW), :]
-        a_buf[e * RN:(e + 1) * RN, :] = region.reshape(RN, -1)
-
-    # transposed product: rows = (edge, pixel) on sublanes (P16-padded), so
-    # every diagonal-block slice below is exactly tile-aligned — no Mosaic
-    # relayouts anywhere in this kernel
-    G = g_ref[:].reshape(EB * P16, g_ref.shape[-1])
-    S = jax.lax.dot_general(
-        G, a_buf[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [EB*P16, EB*RN]
-
-    # bf16 output halves VMEM/HBM cost; the reference computes correlation
-    # under fp16 autocast anyway (`dpvo/dpvo.py:716-720`)
-    for e in range(EB):
-        out_ref[e, :, :] = S[e * P16:(e + 1) * P16,
-                             e * RN:(e + 1) * RN].astype(jnp.bfloat16)
+        S = jax.lax.dot_general(
+            g_ref[e], region.reshape(RN, -1), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [P16, RN]
+        out_ref[e, :, :] = S.astype(jnp.bfloat16)
 
 
 def _surfaces(fmap_pad, frames, origin, g, n_slots):
@@ -99,7 +92,6 @@ def _surfaces(fmap_pad, frames, origin, g, n_slots):
         ],
         out_specs=pl.BlockSpec((EB, P16, RN), lambda b, frames: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((EB * RN, C), jnp.bfloat16)],
     )
     return pl.pallas_call(
         _corr_kernel,
@@ -113,37 +105,60 @@ def _surfaces(fmap_pad, frames, origin, g, n_slots):
 def _bucket_by_frame(jj, n_frames, n_slots):
     """Sort edge ids by target frame and pad each frame group to a multiple
     of EB. Returns (slot_edge [n_slots] with E = dummy, slot_of_edge [E],
-    frame_of_block [n_slots/EB])."""
+    frame_of_block [n_slots/EB]).
+
+    Scatter-free: TPU scatters are slow, so the inverse permutation comes
+    from a second argsort and the slot->edge table / block frames from
+    vectorized binary searches over the (sorted, strictly increasing) slot
+    assignment."""
     E = jj.shape[0]
     order = jnp.argsort(jj, stable=True)
     jj_sorted = jj[order]
-    counts = jnp.bincount(jj, length=n_frames)
+    # per-frame counts without bincount's scatter
+    frames = jnp.arange(n_frames + 1)
+    bounds = jnp.searchsorted(jj_sorted, frames)
+    counts = bounds[1:] - bounds[:-1]
     aligned = ((counts + EB - 1) // EB) * EB
     slot_starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                    jnp.cumsum(aligned)[:-1].astype(jnp.int32)])
-    rank_starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                   jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank_starts = bounds[:-1].astype(jnp.int32)
     r = jnp.arange(E)
     slot_of_sorted = slot_starts[jj_sorted] + (r - rank_starts[jj_sorted])
-    slot_edge = jnp.full((n_slots,), E, jnp.int32).at[slot_of_sorted].set(
-        order.astype(jnp.int32))
-    slot_of_edge = jnp.zeros((E,), jnp.int32).at[order].set(
-        slot_of_sorted.astype(jnp.int32))
-    frame_of_block = jnp.zeros((n_slots // EB,), jnp.int32).at[
-        slot_of_sorted // EB].max(jj_sorted.astype(jnp.int32))
+
+    # slot -> edge: binary search the increasing slot assignment
+    s = jnp.arange(n_slots)
+    pos = jnp.searchsorted(slot_of_sorted, s)
+    hit = (pos < E) & (slot_of_sorted[jnp.clip(pos, 0, E - 1)] == s)
+    slot_edge = jnp.where(hit, order[jnp.clip(pos, 0, E - 1)], E
+                          ).astype(jnp.int32)
+
+    # edge -> slot: compose with the inverse permutation (double argsort)
+    inv = jnp.argsort(order, stable=True)
+    slot_of_edge = slot_of_sorted[inv].astype(jnp.int32)
+
+    # block -> frame: frame of the block's first slot (dummy-only blocks
+    # inherit a clipped neighbor, which is harmless)
+    b0 = jnp.arange(n_slots // EB) * EB
+    posb = jnp.clip(jnp.searchsorted(slot_of_sorted, b0), 0, E - 1)
+    frame_of_block = jj_sorted[posb].astype(jnp.int32)
     return slot_edge, slot_of_edge, frame_of_block
 
 
-def _pallas_corr_level(gmap_e, fmap, coords, jj, n_slots):
-    """One pyramid level. gmap_e: [E+1, P16, C] (last row = dummy zeros);
-    fmap: [F, H, W, C]; coords [E, P, P, 2] at this level's scale.
+def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
+    """One pyramid level, computed in SLOT order.
 
-    Returns full correlation c_full [E, P, P, 8, 8] fp32 (pre-blend), with
-    out-of-image window positions exactly zero (zero padding) and
-    out-of-region pixels zeroed.
+    gmap_slots: [n_slots, P16, C] patch features already bucketed;
+    fmap: [F, H, W, C]; coords_e [E, P, P, 2] at this level's scale;
+    bucketing: shared (slot_edge, slot_of_edge, frame_of_block).
+
+    Returns blended correlation [n_slots, P2, 7, 7] fp32 in slot order —
+    the caller unsorts once on the final stacked feature (much cheaper
+    than unsorting the raw surfaces). Out-of-image window positions are
+    exactly zero (zero padding); out-of-region pixels are zeroed.
     """
-    E = coords.shape[0]
+    E = coords_e.shape[0]
     F, H, W, C = fmap.shape
+    slot_edge, slot_of_edge, frame_of_block = bucketing
 
     # pad by the window reach, plus whatever is needed so the padded map is
     # at least one region large (tiny pyramid levels)
@@ -153,8 +168,8 @@ def _pallas_corr_level(gmap_e, fmap, coords, jj, n_slots):
     Hp = H + PAD + pad_h
     Wp = W + PAD + pad_w
 
-    ystart = jnp.floor(coords[..., 1]).astype(jnp.int32) - 3 + PAD  # [E,P,P]
-    xstart = jnp.floor(coords[..., 0]).astype(jnp.int32) - 3 + PAD
+    ystart = jnp.floor(coords_e[..., 1]).astype(jnp.int32) - 3 + PAD
+    xstart = jnp.floor(coords_e[..., 0]).astype(jnp.int32) - 3 + PAD
     ystart = ystart.reshape(E, P2)
     xstart = xstart.reshape(E, P2)
 
@@ -176,30 +191,53 @@ def _pallas_corr_level(gmap_e, fmap, coords, jj, n_slots):
     origin = jnp.stack([oy, ox], axis=-1)
     origin = jnp.concatenate([origin, jnp.zeros((1, 2), jnp.int32)], axis=0)
 
-    slot_edge, slot_of_edge, frame_of_block = _bucket_by_frame(
-        jj, F, n_slots)
-
     surf = _surfaces(fmap_pad.astype(jnp.bfloat16),
                      frame_of_block,
                      origin[slot_edge],
-                     gmap_e[slot_edge],
+                     gmap_slots,
                      n_slots)                          # [n_slots, P16, RN]
+    surf = surf[:, :P2].reshape(n_slots, P2, RSH, RSW)
 
-    surf = surf[slot_of_edge][:, :P2].reshape(E, P2, RSH, RSW)
+    # reorder the per-pixel metadata into slot order (tiny arrays)
+    def to_slots(a, fill=0):
+        a_p = jnp.concatenate(
+            [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+        return a_p[slot_edge]
 
-    # extract per-pixel 8x8 windows with one-hot contractions (no gathers)
-    iy = jnp.arange(RSH)
-    ix = jnp.arange(RSW)
-    ohy = (rel_y[:, :, None, None] + jnp.arange(8)[None, None, :, None]
-           == iy[None, None, None, :]).astype(jnp.bfloat16)   # [E,9,8,RSH]
-    ohx = (rel_x[:, :, None, None] + jnp.arange(8)[None, None, :, None]
-           == ix[None, None, None, :]).astype(jnp.bfloat16)
-    t1 = jnp.einsum("epij,epdi->epdj", surf, ohy,
-                    preferred_element_type=jnp.float32)
-    win = jnp.einsum("epdj,epxj->epdx", t1.astype(jnp.bfloat16), ohx,
-                     preferred_element_type=jnp.float32)      # [E,9,dy,dx]
-    win = win * in_region[:, :, None, None]
-    return win.reshape(E, 3, 3, 8, 8)
+    rel_y_s = to_slots(rel_y)
+    rel_x_s = to_slots(rel_x)
+    in_region_s = to_slots(in_region.astype(jnp.float32))
+    fy = (coords_e[..., 1] - jnp.floor(coords_e[..., 1])).reshape(E, P2)
+    fx = (coords_e[..., 0] - jnp.floor(coords_e[..., 0])).reshape(E, P2)
+    fy_s = to_slots(fy)
+    fx_s = to_slots(fx)
+
+    # extract per-pixel 8x8 windows by shift-selection: the window start has
+    # few possible values (y: 0..RSH-8, x: 0..RSW-8), so the dynamic crop is
+    # a masked sum of static slices — pure VPU work, ~10x faster than the
+    # equivalent batched one-hot matmuls at SLAM sizes
+    # bf16 buffers: the masked sums are exact selections (exactly one mask
+    # is 1 per position), so no accumulation error is introduced
+    t1 = jnp.zeros((n_slots, P2, 8, RSW), jnp.bfloat16)
+    for s in range(RSH - 8 + 1):
+        m = (rel_y_s == s)[:, :, None, None]
+        t1 = t1 + jnp.where(m, surf[:, :, s:s + 8, :], 0).astype(jnp.bfloat16)
+    win = jnp.zeros((n_slots, P2, 8, 8), jnp.float32)
+    for s in range(RSW - 8 + 1):
+        m = (rel_x_s == s)[:, :, None, None]
+        win = win + jnp.where(m, t1[:, :, :, s:s + 8],
+                              0).astype(jnp.float32)
+    win = win * in_region_s[:, :, None, None]
+
+    # bilinear blend of the four integer shifts -> 7x7
+    fx_b = fx_s[:, :, None, None]
+    fy_b = fy_s[:, :, None, None]
+    d = 7
+    out = ((1 - fx_b) * (1 - fy_b) * win[..., :d, :d]
+           + fx_b * (1 - fy_b) * win[..., :d, 1:]
+           + (1 - fx_b) * fy_b * win[..., 1:, :d]
+           + fx_b * fy_b * win[..., 1:, 1:])           # [n_slots,9,dy,dx]
+    return out
 
 
 def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
@@ -213,32 +251,29 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
     assert radius == 3, "kernel is specialized for the reference radius 3"
     E, Pp = coords.shape[0], coords.shape[1]
     C = gmap.shape[1]
-
-    # patch features, channel-last, pixel dim padded to a sublane tile,
-    # plus a dummy row for padded slots
-    g = jnp.moveaxis(gmap[kk], 1, -1).reshape(E, P2, C)
-    g = jnp.pad(g, ((0, 1), (0, P16 - P2), (0, 0))).astype(jnp.bfloat16)
-
     F = pyramid[0].shape[0]
     n_slots = ((E + EB - 1) // EB) * EB + F * EB
+
+    # bucketing and patch features are shared across pyramid levels
+    bucketing = _bucket_by_frame(jj, F, n_slots)
+    slot_edge, slot_of_edge, _ = bucketing
+    g = jnp.moveaxis(gmap[kk], 1, -1).reshape(E, P2, C)
+    g = jnp.pad(g, ((0, 1), (0, P16 - P2), (0, 0))).astype(jnp.bfloat16)
+    g_slots = g[slot_edge]
 
     outs = []
     for fmap, s in zip(pyramid, levels):
         c = coords.astype(jnp.float32) / s
-        win = _pallas_corr_level(g, fmap.astype(jnp.bfloat16), c, jj,
-                                 n_slots)              # [E,3,3,8,8]
-        # bilinear blend of the four integer shifts -> 7x7
-        fx = (c[..., 0] - jnp.floor(c[..., 0]))        # [E,P,P]
-        fy = (c[..., 1] - jnp.floor(c[..., 1]))
-        fx = fx[..., None, None]
-        fy = fy[..., None, None]
-        d = 7
-        out = ((1 - fx) * (1 - fy) * win[..., :d, :d]
-               + fx * (1 - fy) * win[..., :d, 1:]
-               + (1 - fx) * fy * win[..., 1:, :d]
-               + fx * fy * win[..., 1:, 1:])           # [E,P,P,dy,dx]
-        if valid is not None:
-            out = out * valid.astype(out.dtype)[:, None, None, None, None]
+        out = _pallas_corr_level(g_slots, fmap.astype(jnp.bfloat16), c, jj,
+                                 n_slots, bucketing)   # [n_slots,9,7,7]
         # reference layout: (dx, dy, pi, pj)
-        outs.append(jnp.transpose(out, (0, 4, 3, 1, 2)))
-    return jnp.stack(outs, axis=-1).reshape(E, -1)
+        out = jnp.transpose(out.reshape(n_slots, 3, 3, 7, 7),
+                            (0, 4, 3, 1, 2))
+        outs.append(out.reshape(n_slots, -1).astype(jnp.bfloat16))
+
+    # one unsort gather on the final stacked features (E x 882 bf16)
+    feat = jnp.stack(outs, axis=-1).reshape(n_slots, -1)
+    feat = feat[slot_of_edge].astype(jnp.float32)
+    if valid is not None:
+        feat = feat * valid.astype(feat.dtype)[:, None]
+    return feat
