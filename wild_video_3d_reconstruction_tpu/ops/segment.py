@@ -95,11 +95,12 @@ def neighbors(kk, jj, valid=None, pad_value=-1):
     if valid is None:
         valid = jnp.ones((E,), dtype=bool)
 
-    # lexicographic stable sort by (invalid, kk, jj) via cascaded stable
-    # argsorts (avoids int32 overflow of a composite key)
+    # lexicographic stable sort by (invalid, kk, jj) via two cascaded
+    # stable argsorts (the invalid flag folds into the kk key; a single
+    # composite key would overflow int32 at full buffer sizes)
+    kk_key = jnp.where(valid, kk, jnp.int32(1 << 30))
     order = jnp.argsort(jj, stable=True)
-    order = order[jnp.argsort(kk[order], stable=True)]
-    order = order[jnp.argsort(~valid[order], stable=True)]
+    order = order[jnp.argsort(kk_key[order], stable=True)]
     kk_s = kk[order]
     valid_s = valid[order]
 
