@@ -49,6 +49,27 @@ class BAConfig(NamedTuple):
     bounds_margin: float = 64.0
     ep: float = 1.0      # diagonal epsilon added to the Schur system
     lm: float = 1e-4     # multiplicative diagonal damping on S
+    # max live edges per patch (2 * PATCH_LIFETIME in the online graph).
+    # When set, depth-block accumulation uses a gathered per-patch table
+    # (O(M * cap)); when None, a dense one-hot matmul (O(E * M)) — fine for
+    # small/offline problems, prohibitive at full configs.
+    per_patch_cap: int | None = None
+
+
+def _group_by_patch(q, okq, M_, cap):
+    """Scatter-free per-patch edge table: [M_, cap] edge ids (E = dummy).
+
+    One stable argsort by patch slot + vectorized searchsorted, like the
+    correlation kernel's frame bucketing."""
+    E = q.shape[0]
+    key = jnp.where(okq, q, M_)
+    order = jnp.argsort(key, stable=True)
+    q_sorted = key[order]
+    starts = jnp.searchsorted(q_sorted, jnp.arange(M_))
+    idx = starts[:, None] + jnp.arange(cap)[None, :]
+    idxc = jnp.clip(idx, 0, E - 1)
+    valid = (idx < E) & (q_sorted[idxc] == jnp.arange(M_)[:, None])
+    return jnp.where(valid, order[idxc], E).astype(jnp.int32)
 
 
 def _edge_system(poses, patches, intr, target, ii, jj, kk, cfg: BAConfig):
@@ -123,8 +144,6 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
     iw = jnp.arange(W_)
     oh_i = ((li[:, None] == iw) & oki[:, None]).astype(jnp.float32)  # [E, W]
     oh_j = ((lj[:, None] == iw) & okj[:, None]).astype(jnp.float32)
-    oh_q = ((q[:, None] == jnp.arange(M_)) &
-            okq[:, None]).astype(jnp.float32)                        # [E, M]
 
     def pair_sum(A, oh_r, oh_c):
         # [W*W, 36] = sum_e (oh_r ⊗ oh_c)[e] * A[e]
@@ -144,13 +163,26 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
     Ejk = jnp.einsum("er,eri->ei", wJz, Jj)
     tmp = (jnp.einsum("ew,ec->ewc", oh_i, Eik)
            + jnp.einsum("ew,ec->ewc", oh_j, Ejk)).reshape(E, W_ * 6)
-    Em = jnp.dot(tmp.T, oh_q,
-                 preferred_element_type=jnp.float32)           # [W*6, M]
-    Em = Em.reshape(W_, 6, M_).reshape(6 * W_, M_)
 
-    cu = jnp.stack([jnp.sum(wJz * Jz, -1), jnp.sum(wJz * r, -1)], -1)
-    CU = jnp.dot(oh_q.T, cu, preferred_element_type=jnp.float32)  # [M, 2]
-    C, u = CU[:, 0], CU[:, 1]
+    cu = jnp.stack([jnp.sum(wJz * Jz, -1), jnp.sum(wJz * r, -1),
+                    mask * valid], -1)                         # [E, 3]
+    if cfg.per_patch_cap is not None:
+        # gathered per-patch accumulation: O(M * cap) instead of O(E * M)
+        table = _group_by_patch(q, okq, M_, cfg.per_patch_cap)  # [M, cap]
+        vals = jnp.concatenate([cu, tmp], axis=-1)             # [E, 3+W*6]
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((1, vals.shape[1]), vals.dtype)], axis=0)
+        acc = jnp.sum(vals[table], axis=1)                     # [M, 3+W*6]
+        C, u, touched_cnt = acc[:, 0], acc[:, 1], acc[:, 2]
+        Em = acc[:, 3:].T.reshape(W_, 6, M_).reshape(6 * W_, M_)
+    else:
+        oh_q = ((q[:, None] == jnp.arange(M_)) &
+                okq[:, None]).astype(jnp.float32)              # [E, M]
+        Em = jnp.dot(tmp.T, oh_q,
+                     preferred_element_type=jnp.float32)       # [W*6, M]
+        Em = Em.reshape(W_, 6, M_).reshape(6 * W_, M_)
+        CU = jnp.dot(oh_q.T, cu, preferred_element_type=jnp.float32)
+        C, u, touched_cnt = CU[:, 0], CU[:, 1], CU[:, 2]
     vi = jnp.einsum("er,eri->ei", w * r, Ji)
     vj = jnp.einsum("er,eri->ei", w * r, Jj)
     v = (jnp.dot(oh_i.T, vi, preferred_element_type=jnp.float32)
@@ -184,8 +216,7 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
 
     # ---- depth retraction (only patches with observations) ---------------
     Nk = patches.shape[0]
-    touched = jnp.dot(oh_q.T, mask * valid,
-                      preferred_element_type=jnp.float32) > 0
+    touched = touched_cnt > 0
     slots = jnp.arange(M_)
     plive = touched & (m_base + slots < Nk) & (m_base + slots >= 0)
     pidx = jnp.where(plive, jnp.clip(m_base + slots, 0, Nk - 1), Nk)

@@ -123,7 +123,8 @@ class LongTermLoopClosure:
         poses = np.asarray(st.poses[i - 1:i + 2])
         intr = np.asarray(st.intrinsics[i]) * 4.0      # full-res intrinsics
 
-        cfg_ba = BAConfig(window=4, patch_slots=n_tr, iterations=6)
+        cfg_ba = BAConfig(window=4, patch_slots=n_tr, iterations=6,
+                  per_patch_cap=2)
         _, patches_out = bundle_adjust(
             jnp.asarray(poses), jnp.asarray(patches), jnp.asarray(intr),
             jnp.asarray(target), jnp.asarray(weight), 1e-3,

@@ -26,8 +26,9 @@ level. Pixels exceeding it (extreme perspective) get zero correlation
 rather than shifted samples; the exact XLA path remains available as
 oracle/fallback (cfg.PALLAS_CORR=False).
 
-Measured on v5e (fast config, E=17408, 2 pyramid levels): 28 ms vs 114 ms
-for the best XLA gather formulation; end-to-end VO 7.2 -> 28.9 FPS.
+Measured on v5e (fast config, E=17408, 2 pyramid levels): ~9 ms vs 114 ms
+for the best XLA gather formulation; end-to-end VO 7.2 -> 42+ FPS across
+the optimization ledger (see git history).
 """
 
 from __future__ import annotations

@@ -108,17 +108,19 @@ def run_global_ba(cfg, slam, iterations=2, max_edges=512):
     valid[:E] = True
     n_bucket = 1 << max(int(np.ceil(np.log2(max(n + 1, 2)))), 4)
 
+    per_patch_cap = int(np.bincount(ii_f).max()) + 1
     state = slam.state
     out = _global_pass(cfg, slam.params, state, jnp.asarray(ii),
                        jnp.asarray(jj), jnp.asarray(kk), jnp.asarray(valid),
-                       n_bucket, iterations)
+                       n_bucket, iterations, per_patch_cap)
     slam.state = state._replace(poses=out[0], patches=out[1])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_bucket", "iterations"))
+                   static_argnames=("cfg", "n_bucket", "iterations",
+                                    "per_patch_cap"))
 def _global_pass(cfg, params, state, ii, jj, kk, valid, n_bucket,
-                 iterations):
+                 iterations, per_patch_cap=None):
     M = cfg.PATCHES_PER_FRAME
     pmem = cfg.pmem
     fd = _feat_dtype(cfg)
@@ -151,7 +153,7 @@ def _global_pass(cfg, params, state, ii, jj, kk, valid, n_bucket,
     weight = weight.astype(jnp.float32) * valid[:, None]
 
     ba_cfg = BAConfig(window=n_bucket, patch_slots=n_bucket * M,
-                      iterations=iterations)
+                      iterations=iterations, per_patch_cap=per_patch_cap)
     poses, patches = bundle_adjust(
         state.poses, state.patches, state.intrinsics[0], target, weight,
         1e-4, ii, jj, kk, valid.astype(jnp.float32), 1, n, 0, ba_cfg)

@@ -293,7 +293,8 @@ def update_op(cfg, params, state: SLAMState, t0):
     m_base = jnp.maximum(n - (cfg.patch_window_frames - 1), 0) * M
 
     ba_cfg = BAConfig(window=cfg.ba_window, patch_slots=cfg.patch_slots,
-                      iterations=2)
+                      iterations=2,
+                      per_patch_cap=2 * cfg.PATCH_LIFETIME + 2)
     poses, patches = bundle_adjust(
         state.poses, state.patches, state.intrinsics[0], target, weight,
         1e-4, state.ii, state.jj, state.kk, state.valid, t0, n, m_base,

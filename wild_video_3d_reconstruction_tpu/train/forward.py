@@ -100,7 +100,7 @@ def vonet_training_forward(params, images, poses_gt, disps, intrinsics, key,
     net = jnp.zeros((E, DIM))
 
     ba_cfg = BAConfig(window=T, patch_slots=T * M, iterations=tc.ba_iters,
-                      bounds_margin=64.0)
+                      bounds_margin=64.0, per_patch_cap=T)
 
     nbr_ix, nbr_jx = neighbors(kk, jj, valid=keep)
     ij_seg = ii * T + jj
