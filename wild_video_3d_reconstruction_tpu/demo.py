@@ -23,7 +23,7 @@ def int_or_none(value):
 def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
         end=None, timeit=False, path="./output", save_reconstruction=False,
         save_trajectory=False, export_colmap=False, plot=False,
-        loop_enabled=False):
+        loop_enabled=False, viz=False, rerun=False):
     import jax.numpy as jnp
 
     from .io import export, stream
@@ -42,17 +42,24 @@ def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
     reader = stream.Prefetcher(gen, maxsize=8)
 
     slam = None
-    retrieval = None
+    visualizer = None
     from tqdm import tqdm
     for t, image, depth, mask, intrinsics in tqdm(reader):
         if slam is None:
             ht, wd, _ = image.shape
-            slam = DPVO(cfg, network, ht, wd, path=path)
+            slam = DPVO(cfg, network, ht, wd, path=path,
+                        sync_mode=True if (viz or rerun) else None)
             if loop_enabled or cfg.loop_enabled:
                 from .loop.longterm import LongTermLoopClosure
                 slam.loop_closure = LongTermLoopClosure(cfg, slam)
+            if viz or rerun:
+                from .utils.viz import Visualizer
+                visualizer = Visualizer(slam, path=f"{path}/viz",
+                                        use_rerun=rerun)
         with Timer("SLAM", enabled=timeit):
             slam(t, image, depth, mask, intrinsics)
+        if visualizer is not None and slam.is_initialized and t % 4 == 0:
+            visualizer.update(image=image)
 
     for _ in range(12):
         slam.refine(1)
@@ -100,6 +107,8 @@ def main(argv=None):
     parser.add_argument("--skip", type=int, default=0)
     parser.add_argument("--end", type=int_or_none, default=None)
     parser.add_argument("--timeit", action="store_true")
+    parser.add_argument("--viz", action="store_true")
+    parser.add_argument("--rerun", action="store_true")
     parser.add_argument("--loop_enabled", action="store_true")
     parser.add_argument("--save_reconstruction", action="store_true")
     parser.add_argument("--save_trajectory", action="store_true")
@@ -127,7 +136,7 @@ def main(argv=None):
         path=args.path, save_reconstruction=args.save_reconstruction,
         save_trajectory=args.save_trajectory,
         export_colmap=args.export_colmap, plot=args.plot,
-        loop_enabled=args.loop_enabled)
+        loop_enabled=args.loop_enabled, viz=args.viz, rerun=args.rerun)
 
 
 if __name__ == "__main__":

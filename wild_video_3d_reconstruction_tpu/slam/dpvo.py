@@ -358,6 +358,56 @@ class DPVO:
             pass
         return record
 
+    def terminate_keyframe(self):
+        """Keyframe-only trajectory (`DPVO.terminate_keyframe`,
+        `dpvo/dpvo.py:305-324`): c2w poses + their input timestamps."""
+        if self.loop_closure is not None:
+            self.loop_closure.terminate(self.n_host)
+        self._replay_log()
+        n = self.n_host
+        poses = np.asarray(self.state.poses[:n])
+        poses = np.asarray(lie.se3_inv(jnp.asarray(poses)))
+        return poses, self.tstamps[:n].astype(float)
+
+    def debug_match_figure(self, key_idx, query_num=3, save_path=None):
+        """Reprojection match visualization between keyframe `key_idx` and
+        its predecessors (`DPVO.draw_img_matching_coord`,
+        `dpvo/dpvo.py:516-547`), drawn from live patch-graph state."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..ops import projective as pops
+
+        st = self.state
+        coords = np.asarray(pops.transform(
+            st.poses, st.patches, st.intrinsics, st.ii, st.jj, st.kk))
+        ii = np.asarray(st.ii)
+        jj = np.asarray(st.jj)
+        valid = np.asarray(st.valid)
+        M = self.M
+        key_xy = np.asarray(
+            st.patches[key_idx * M:(key_idx + 1) * M, :2, 1, 1]) * 4
+
+        fig, axes = plt.subplots(query_num, 1, figsize=(8, 3 * query_num))
+        axes = np.atleast_1d(axes)
+        for a, ax in enumerate(axes):
+            tgt = key_idx - a - 1
+            sel = valid & (ii == key_idx) & (jj == tgt)
+            pts = coords[sel][:, 1, 1, :] * 4
+            ax.scatter(key_xy[:, 0], key_xy[:, 1], c="red", s=8,
+                       label="keyframe patches")
+            ax.scatter(pts[:, 0], pts[:, 1], c="blue", s=8,
+                       label=f"reprojected into kf {tgt}")
+            ax.set_xlim(0, self.wd)
+            ax.set_ylim(self.ht, 0)
+            ax.legend(loc="upper right", fontsize=6)
+        fig.tight_layout()
+        if save_path:
+            fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+        return fig
+
     def points_and_colors(self):
         """World points + RGB colors for the live map (`dpvo/dpvo.py:255-273`)."""
         m = self.m
