@@ -56,7 +56,8 @@ def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
                 from .utils.viz import Visualizer
                 visualizer = Visualizer(slam, path=f"{path}/viz",
                                         use_rerun=rerun)
-        with Timer("SLAM", enabled=timeit):
+        with Timer("SLAM", enabled=timeit,
+                   sync=(lambda: slam.state.poses) if timeit else None):
             slam(t, image, depth, mask, intrinsics)
         if visualizer is not None and slam.is_initialized and t % 4 == 0:
             visualizer.update(image=image)

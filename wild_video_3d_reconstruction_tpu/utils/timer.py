@@ -29,7 +29,11 @@ class Timer:
     def __exit__(self, *exc):
         if self.enabled:
             if self.sync is not None:
-                jax.block_until_ready(self.sync)
+                # a VALUE fetch is the only reliable device sync on
+                # relay-attached TPUs (block_until_ready can be a no-op)
+                target = self.sync() if callable(self.sync) else self.sync
+                leaf = jax.tree.leaves(target)[0]
+                jax.device_get(leaf.ravel()[:1])
             elapsed = 1000.0 * (time.perf_counter() - self.start)
             _ALL_TIMES[self.name].append(elapsed)
             print(f"{self.name} {elapsed:.2f}ms")
