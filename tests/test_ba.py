@@ -163,3 +163,49 @@ def test_ba_m_base_offset_and_padding():
                                np.asarray(patches[:m_base]), atol=0)
     assert np.all(np.isfinite(np.asarray(poses1)))
     assert pose_error(poses1, poses) < pose_error(poses0, poses)
+
+
+def test_ba_failure_containment_nan_targets():
+    """Degenerate input (all-NaN targets) must not poison the state: the
+    rebuilt solver mirrors the reference's zero-returning Cholesky +
+    try/except "BA failed" (`dpvo/ba.py:14-26`, `dpvo/dpvo.py:678-682`)."""
+    key = jax.random.PRNGKey(7)
+    poses, patches, ii, jj, kk, target = build_scene(key)
+    n = poses.shape[0]
+    target_nan = jnp.full_like(target, jnp.nan)
+    cfg = BAConfig(window=8, patch_slots=patches.shape[0], iterations=4)
+    poses1, patches1 = run_ba(poses, patches, ii, jj, kk, target_nan,
+                              1, n, 0, cfg)
+    assert np.all(np.isfinite(np.asarray(poses1)))
+    assert np.all(np.isfinite(np.asarray(patches1)))
+
+
+def test_ba_failure_containment_nan_depths():
+    """NaN inverse depths (poisoned map) must not spread to the poses."""
+    key = jax.random.PRNGKey(8)
+    poses, patches, ii, jj, kk, target = build_scene(key)
+    n = poses.shape[0]
+    bad = patches.at[:, 2].set(jnp.nan)
+    cfg = BAConfig(window=8, patch_slots=patches.shape[0], iterations=2)
+    poses1, _ = run_ba(poses, bad, ii, jj, kk, target, 1, n, 0, cfg)
+    assert np.all(np.isfinite(np.asarray(poses1)))
+    np.testing.assert_allclose(np.asarray(poses1), np.asarray(poses),
+                               atol=1e-6)
+
+
+def test_ba_singular_system_keeps_poses():
+    """A rank-deficient system (single edge, zero weight on one axis) that
+    would make S singular without damping: poses stay finite and tracking
+    can continue."""
+    key = jax.random.PRNGKey(9)
+    poses, patches, ii, jj, kk, target = build_scene(key)
+    n = poses.shape[0]
+    E = len(ii)
+    weight = jnp.zeros((E, 2))          # zero information -> S = lm-damped I
+    valid = jnp.ones((E,), dtype=bool)
+    cfg = BAConfig(window=8, patch_slots=patches.shape[0], iterations=2)
+    poses1, patches1 = bundle_adjust(poses, patches, INTR, target, weight,
+                                     1e-4, ii, jj, kk, valid, 1, n, 0, cfg)
+    assert np.all(np.isfinite(np.asarray(poses1)))
+    np.testing.assert_allclose(np.asarray(poses1), np.asarray(poses),
+                               atol=1e-5)

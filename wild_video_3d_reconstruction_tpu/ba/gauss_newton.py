@@ -97,7 +97,8 @@ def _edge_system(poses, patches, intr, target, ii, jj, kk, cfg: BAConfig):
             & (Z > cfg.min_depth)
             & (x1 > -cfg.bounds_margin) & (y1 > -cfg.bounds_margin)
             & (x1 < 2 * cx + cfg.bounds_margin)
-            & (y1 < 2 * cy + cfg.bounds_margin))
+            & (y1 < 2 * cy + cfg.bounds_margin)
+            & jnp.all(jnp.isfinite(r), axis=-1))
 
     d = jnp.where(Z >= cfg.min_depth, 1.0 / safeZ, 0.0)
     d2 = d * d
@@ -114,6 +115,14 @@ def _edge_system(poses, patches, intr, target, ii, jj, kk, cfg: BAConfig):
     tij = Gij[:, :3]
     Jz = jnp.stack([fx * (tij[:, 0] * d - tij[:, 2] * X * d2),
                     fy * (tij[:, 1] * d - tij[:, 2] * Y * d2)], axis=-1)
+    # failure containment: a non-finite edge (NaN pose/patch poisoning the
+    # reprojection) must not reach the Hessian — masked weights alone don't
+    # stop NaN * 0 = NaN in the accumulation products
+    m2, m3 = mask[:, None], mask[:, None, None]
+    r = jnp.where(m2, jnp.nan_to_num(r), 0.0)
+    Ji = jnp.where(m3, jnp.nan_to_num(Ji), 0.0)
+    Jj = jnp.where(m3, jnp.nan_to_num(Jj), 0.0)
+    Jz = jnp.where(m2, jnp.nan_to_num(Jz), 0.0)
     return r, Ji, Jj, Jz, mask.astype(poses.dtype)
 
 
@@ -199,7 +208,14 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
 
     L = jax.scipy.linalg.cho_factor(S, lower=True)
     dX = jax.scipy.linalg.cho_solve(L, y)                      # [6W]
+    # Cholesky failure containment: a singular/indefinite S yields NaNs in
+    # dX; mirror the reference's zero-returning CholeskySolver + try/except
+    # "BA failed" (`dpvo/ba.py:14-26`, `dpvo/dpvo.py:678-682`) by zeroing
+    # the step — retraction by exp(0) keeps the previous poses/depths.
+    ok = jnp.all(jnp.isfinite(dX))
+    dX = jnp.where(ok, dX, 0.0)
     dZ = Q * (u - Em.T @ dX)                                   # [M]
+    dZ = jnp.where(ok & jnp.isfinite(dZ), dZ, 0.0)
 
     # ---- pose retraction over [t0, t1) -----------------------------------
     # dead window slots are routed to a sentinel row (duplicate clipped

@@ -30,9 +30,15 @@ def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
     from .slam import DPVO
     from .utils.timer import Timer, timing_summary
 
+    if isinstance(network, str):
+        # load once: DPVO and the auto-calibration matcher share the weights
+        from .models import convert
+        network = convert.load_torch_checkpoint(network)
+
     if calib is None:
         from .init.colmap_init import run_colmap_initialization
-        calib = run_colmap_initialization(imagedir, path, skip)
+        calib = run_colmap_initialization(imagedir, path, skip,
+                                          params=network)
     elif isinstance(calib, str):
         calib = np.loadtxt(calib, delimiter=" ")
 

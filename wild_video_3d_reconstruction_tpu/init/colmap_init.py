@@ -62,15 +62,19 @@ def select_keyframes(imagedir, skip=0, max_frames=50, flow_thresh=2.0,
     return [f for f, _ in selected]
 
 
-def _match_pairs(frames, max_kpts=1024):
-    """Keypoints + mutual-NN matches between consecutive selected frames."""
+def _match_pairs(frames, params=None, max_kpts=1024):
+    """Keypoints + mutual-NN matches between consecutive selected frames.
+
+    params: trained VONet params — the fmap descriptors are only meaningful
+    with real weights; random init is a last-resort fallback for tests."""
     import jax
     import jax.numpy as jnp
 
     from ..loop import keypoints as kp
     from ..models.vonet import encode_frame, init_vonet
 
-    params = init_vonet(jax.random.PRNGKey(0))
+    if params is None:
+        params = init_vonet(jax.random.PRNGKey(0))
     enc = jax.jit(lambda p, im: encode_frame(p, im, jnp.float32).fmap)
 
     feats = []
@@ -130,21 +134,63 @@ def estimate_focal(pairs, hw, focal_grid=None):
     return best_f, cx, cy
 
 
-def run_colmap_initialization(imagedir, path=None, skip=0, max_frames=30):
-    """API-compatible entry (`dpvo_colmap_init.py:191`): returns
-    np.array([fx, fy, cx, cy])."""
+def _try_pycolmap(frames, workdir):
+    """Incremental SfM via pycolmap when installed (the reference's primary
+    path, `dpvo_colmap_init.py:119-159`). Returns [fx, fy, cx, cy] or None;
+    mirrors the reference's >=70% registration-rate acceptance check."""
     try:
-        import pycolmap  # noqa: F401
-        # a full SfM toolchain is available; the reference pipeline could
-        # be used here — fall through to the self-contained path anyway if
-        # anything fails.
+        import pycolmap
     except ImportError:
-        pass
+        return None
+    import shutil
+    import tempfile
 
+    tmp = Path(workdir or tempfile.mkdtemp(prefix="sfm_"))
+    imgdir = tmp / "images"
+    imgdir.mkdir(parents=True, exist_ok=True)
+    for f in frames:
+        shutil.copy(f, imgdir / Path(f).name)
+    db = tmp / "database.db"
+    out = tmp / "sparse"
+    out.mkdir(exist_ok=True)
+    try:
+        pycolmap.extract_features(db, imgdir)
+        pycolmap.match_sequential(db)
+        recs = pycolmap.incremental_mapping(db, imgdir, out)
+        if not recs:
+            return None
+        rec = max(recs.values(), key=lambda r: len(r.images))
+        if len(rec.images) < 0.7 * len(frames):
+            print(f"pycolmap registered {len(rec.images)}/{len(frames)} "
+                  "frames (<70%) — falling back to focal grid search")
+            return None
+        cam = next(iter(rec.cameras.values()))
+        p = cam.params
+        if len(p) == 3:                       # SIMPLE_PINHOLE/SIMPLE_RADIAL
+            return np.array([p[0], p[0], p[1], p[2]])
+        return np.array(p[:4])
+    except Exception as e:                    # noqa: BLE001 — fallback chain
+        print(f"pycolmap initialization failed ({e}); using grid search")
+        return None
+
+
+def run_colmap_initialization(imagedir, path=None, skip=0, max_frames=30,
+                              params=None):
+    """API-compatible entry (`dpvo_colmap_init.py:191`): returns
+    np.array([fx, fy, cx, cy]). params: trained VONet weights for the
+    descriptor matcher (the demo passes its loaded checkpoint)."""
     frames = select_keyframes(imagedir, skip=skip, max_frames=max_frames)
     if len(frames) < 2:
         raise RuntimeError("not enough frames with motion for calibration")
-    pairs, hw = _match_pairs(frames)
+
+    calib = _try_pycolmap(frames, path)
+    if calib is not None:
+        if path:
+            Path(path).mkdir(parents=True, exist_ok=True)
+            np.savetxt(Path(path) / "estimated_calib.txt", calib[None])
+        return calib
+
+    pairs, hw = _match_pairs(frames, params=params)
     f, cx, cy = estimate_focal(pairs, hw)
     calib = np.array([f, f, cx, cy])
     if path:

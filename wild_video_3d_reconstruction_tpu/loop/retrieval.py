@@ -58,15 +58,16 @@ class Retrieval:
         self.prev_loop_closes.append((i, j))
 
     def _repetition_check(self, idx, num_repeat):
+        """Require `num_repeat` consecutive-query detections; return the
+        middle one (`retrieval_netvlad.py:75-82`, which hard-codes the
+        3-window unpack — this generalizes: middle of 3 = index 1)."""
         if len(self.found) < num_repeat:
             return None
-        latest = self.found[-num_repeat:]
-        (b, _), (i, j) = latest[0], latest[1] if num_repeat > 1 else latest[0]
-        if num_repeat >= 2:
-            (b, _), (i, j) = latest[0], latest[1]
-        if (1 + idx - b) == num_repeat:
-            return (i, max(j, 1))
-        return None
+        oldest_query = self.found[-num_repeat][0]
+        if 1 + idx - oldest_query != num_repeat:
+            return None
+        i, j = self.found[-num_repeat + num_repeat // 2]
+        return (i, max(j, 1))
 
     def detect_loop(self, thresh, num_repeat=1):
         while self.pending:

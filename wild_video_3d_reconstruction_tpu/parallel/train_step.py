@@ -51,19 +51,20 @@ def build_train_step(mesh, params, tc: TrainConfig, optimizer=None):
     optimizer = optimizer or make_optimizer()
     p_shard = mesh_lib.param_sharding(mesh, params)
     params = jax.device_put(params, p_shard)
-    opt_state = jax.jit(
-        optimizer.init,
-        out_shardings=mesh_lib.param_sharding(
-            mesh, jax.eval_shape(optimizer.init, params))
-        if False else None)(params)
+    # the optimizer state embeds param-shaped moment trees (adam mu/nu);
+    # the shape-based sharding rule assigns them the same fsdp/tp layout as
+    # their parameters and replicates the scalars (step count, etc.)
+    o_shard = mesh_lib.param_sharding(
+        mesh, jax.eval_shape(optimizer.init, params))
+    opt_state = jax.jit(optimizer.init, out_shardings=o_shard)(params)
 
     b_shard = mesh_lib.batch_sharding(mesh)
     r_shard = mesh_lib.replicated(mesh)
 
     @functools.partial(
         jax.jit,
-        in_shardings=(p_shard, None, b_shard, r_shard),
-        out_shardings=(p_shard, None, r_shard),
+        in_shardings=(p_shard, o_shard, b_shard, r_shard),
+        out_shardings=(p_shard, o_shard, r_shard),
         donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, key):
         (loss, metrics), grads = jax.value_and_grad(
