@@ -79,15 +79,44 @@ def test_pallas_out_of_bounds_windows():
 def test_bucketing_roundtrip():
     jj = jnp.asarray([3, 1, 1, 0, 3, 3, 1], jnp.int32)
     E = 7
-    n_slots = 5 * pallas_corr.EB
-    slot_edge, slot_of_edge, frame_of_block = pallas_corr._bucket_by_frame(
+    n_slots = 6 * pallas_corr.EB
+    slot_edge, slot_of_edge, block_meta = pallas_corr._bucket_by_frame(
         jj, 4, n_slots)
     slot_edge = np.asarray(slot_edge)
     slot_of_edge = np.asarray(slot_of_edge)
     # every edge's slot points back at it
     for e in range(E):
         assert slot_edge[slot_of_edge[e]] == e
-    # slots within one block share a frame
-    fb = np.asarray(frame_of_block)
+    # slots within one block share a frame; a block holding a live edge is
+    # its own source (meta[b] = (frame, src_block), src == b <=> live)
+    meta = np.asarray(block_meta)
     for e in range(E):
-        assert fb[slot_of_edge[e] // pallas_corr.EB] == int(jj[e])
+        b = slot_of_edge[e] // pallas_corr.EB
+        assert meta[b, 0] == int(jj[e])
+        assert meta[b, 1] == b
+    # dead blocks alias an earlier (or clamped-first) block
+    live = {slot_of_edge[e] // pallas_corr.EB for e in range(E)}
+    for b in range(len(meta)):
+        if b not in live:
+            assert meta[b, 1] <= b
+            assert meta[b, 1] in live or meta[b, 1] == 0
+
+
+def test_bucketing_invalid_tail():
+    # invalid edges must route to the tail group and their blocks be dead
+    jj = jnp.asarray([2, 0, 1, 2, 1, 0], jnp.int32)
+    valid = jnp.asarray([True, False, True, True, False, True])
+    n_slots = 6 * pallas_corr.EB
+    slot_edge, slot_of_edge, block_meta = pallas_corr._bucket_by_frame(
+        jj, 3, n_slots, valid=valid)
+    slot_edge, slot_of_edge = np.asarray(slot_edge), np.asarray(slot_of_edge)
+    meta = np.asarray(block_meta)
+    v = np.asarray(valid)
+    for e in range(6):
+        b = slot_of_edge[e] // pallas_corr.EB
+        if v[e]:
+            assert meta[b, 1] == b, e          # live block
+        # invalid edges sort after every valid edge
+        if not v[e]:
+            assert all(slot_of_edge[e] > slot_of_edge[o]
+                       for o in range(6) if v[o])

@@ -47,13 +47,26 @@ class LongTermLoopClosure:
         self._encode = jax.jit(
             lambda params, img: vonet.encode_frame(params, img,
                                                    jnp.float32).fmap)
+        if not slam.sync_mode and hasattr(slam, "enable_descriptors"):
+            # async mode: descriptors come from the device log
+            slam.enable_descriptors(self.vlad)
 
     # ------------------------------------------------------------ per frame
     def __call__(self, image, n, tstamp):
+        """Synchronous ingest (warm-up frames and sync_mode): fetch the
+        frame's feature map and extract the descriptor host-side."""
         slot = n % self.cfg.pmem
         fmap = np.asarray(self.slam.state.fmap1[slot], np.float32)
         self.retrieval.add_frame(n, self.vlad.extract(fmap))
         self.imcache.add_frame(image, n)
+
+    def add_descriptor(self, n, desc, image):
+        """Async ingest: descriptor drained from the device log; image from
+        the host-side counter buffer (may be None on replay of frames whose
+        image was consumed — never happens in normal operation)."""
+        self.retrieval.add_frame(n, desc)
+        if image is not None:
+            self.imcache.add_frame(image, n)
 
     def keyframe(self, k):
         self.retrieval.keyframe(k)
@@ -201,6 +214,11 @@ class LongTermLoopClosure:
         meas = np.concatenate([t, np.asarray(q), [s]]).astype(np.float32)
 
         st = self.slam.state
+        # optimize over every keyframe the DEVICE has (in async mode the
+        # device is up to 2*LC_INTERVAL frames ahead of the replayed count
+        # n; leaving those poses out would seam the live window off the
+        # rescaled map)
+        n = max(n, int(st.n_frames))
         poses_w2c = np.asarray(st.poses[:n])
         Gi = jnp.asarray(poses_w2c[self.loop_ii])
         Gj = jnp.asarray(poses_w2c[self.loop_jj])
@@ -238,7 +256,10 @@ class LongTermLoopClosure:
 
     def _rescale_deltas(self, s):
         slam = self.slam
-        t2s = {int(slam.tstamps[i]): s[i] for i in range(slam.n)}
+        # only host-replayed rows of `tstamps` are trustworthy in async
+        # mode (the device may be a few frames ahead of the replay)
+        n_known = min(len(s), slam.n_host)
+        t2s = {int(slam.tstamps[i]): s[i] for i in range(n_known)}
         for t, (t0, dP) in list(slam.delta.items()):
             t_src = t
             while t_src in slam.delta:

@@ -21,6 +21,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def vlad_extract(fmap, centers):
+    """fmap: [H, W, C] -> [K*C] L2-normalized VLAD descriptor (pure jnp;
+    also embedded into the on-device SLAM step for fetch-free loop mode)."""
+    K, C = centers.shape
+    x = fmap.reshape(-1, C).astype(jnp.float32)
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+    logits = 16.0 * (x @ centers.T)                  # soft assignment
+    a = jax.nn.softmax(logits, axis=-1)              # [N, K]
+    # sum_n a[n,k] * (x[n] - c[k]) without materializing [N, K, C]
+    vlad = a.T @ x - a.sum(axis=0)[:, None] * centers        # [K, C]
+    # intra-normalization then global L2 (standard NetVLAD recipe)
+    vlad = vlad / jnp.maximum(
+        jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-8)
+    v = vlad.reshape(-1)
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-8)
+
+
 class VLADDescriptor:
     """VLAD pooling over [H, W, C] feature maps with K soft-assigned
     clusters. Centers are data-independent (fixed random rotation of the
@@ -35,25 +52,12 @@ class VLADDescriptor:
                                                 keepdims=True)
         self.centers = jnp.asarray(centers)
         self.K, self.C = self.centers.shape
-        self._extract = jax.jit(self._extract_impl)
+        self._extract = jax.jit(
+            lambda fmap: vlad_extract(fmap, self.centers))
 
     @property
     def dim(self):
         return self.K * self.C
-
-    def _extract_impl(self, fmap):
-        """fmap: [H, W, C] -> [K*C] L2-normalized VLAD descriptor."""
-        x = fmap.reshape(-1, self.C).astype(jnp.float32)
-        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
-        logits = 16.0 * (x @ self.centers.T)             # soft assignment
-        a = jax.nn.softmax(logits, axis=-1)              # [N, K]
-        resid = x[:, None, :] - self.centers[None]       # [N, K, C]
-        vlad = jnp.sum(a[:, :, None] * resid, axis=0)    # [K, C]
-        # intra-normalization then global L2 (standard NetVLAD recipe)
-        vlad = vlad / jnp.maximum(
-            jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-8)
-        v = vlad.reshape(-1)
-        return v / jnp.maximum(jnp.linalg.norm(v), 1e-8)
 
     def extract(self, fmap):
         return np.asarray(self._extract(jnp.asarray(fmap)))

@@ -53,26 +53,38 @@ P16 = 16        # pixels padded to one bf16 sublane tile
 RN = RSH * RSW  # region positions per edge
 
 
-def _corr_kernel(frames_ref, origin_ref, g_ref, fmap_ref, out_ref):
+def _corr_kernel(meta_ref, origin_ref, g_ref, fmap_ref, out_ref):
     # per-edge product G_e [P16, C] x region^T [C, RN] straight from the
     # tile-aligned region slice — no scratch, no diagonal extraction, no
     # Mosaic relayouts (x origin 16-aligned, pixel rows P16-padded).
     # bf16 output halves VMEM/HBM cost; the reference computes correlation
     # under fp16 autocast anyway (`dpvo/dpvo.py:716-720`).
-    for e in range(EB):
-        oy = origin_ref[e, 0]
-        ox = pl.multiple_of(origin_ref[e, 1], 16)
-        region = fmap_ref[0, pl.ds(oy, RSH), pl.ds(ox, RSW), :]
-        S = jax.lax.dot_general(
-            g_ref[e], region.reshape(RN, -1), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [P16, RN]
-        out_ref[e, :, :] = S.astype(jnp.bfloat16)
+    # Blocks with no live edge (capacity padding — the edge table is sized
+    # for the no-eviction worst case) are aliased to the previous live
+    # block in every BlockSpec index map, so the pipeline's block-revisit
+    # detection skips their HBM<->VMEM copies (g: 128KB, out: 512KB per
+    # block — the dominant cost when most capacity is dead) and pl.when
+    # skips their matmuls. meta[b, 1] == b exactly for live blocks.
+    b = pl.program_id(0)
+
+    @pl.when(meta_ref[b, 1] == b)
+    def _():
+        for e in range(EB):
+            oy = origin_ref[e, 0]
+            ox = pl.multiple_of(origin_ref[e, 1], 16)
+            region = fmap_ref[0, pl.ds(oy, RSH), pl.ds(ox, RSW), :]
+            S = jax.lax.dot_general(
+                g_ref[e], region.reshape(RN, -1), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [P16, RN]
+            out_ref[e, :, :] = S.astype(jnp.bfloat16)
 
 
-def _surfaces(fmap_pad, frames, origin, g, n_slots):
+def _surfaces(fmap_pad, block_meta, origin, g, n_slots):
     """Run the kernel over bucketed slots.
 
-    fmap_pad: [F, Hp, Wp, C];  frames: [n_blocks] int32 (scalar prefetch)
+    fmap_pad: [F, Hp, Wp, C];  block_meta: [n_blocks, 2] int32 (scalar
+    prefetch: frame id, source block — self for live blocks, previous
+    live block for dead ones so their copies are revisit-elided)
     origin:   [n_slots, 2] int32;  g: [n_slots, P16, C] (pixels tile-padded)
     returns   [n_slots, P16, RN] bf16 surfaces
     """
@@ -83,15 +95,15 @@ def _surfaces(fmap_pad, frames, origin, g, n_slots):
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((EB, 2), lambda b, frames: (b, 0),
+            pl.BlockSpec((EB, 2), lambda b, meta: (meta[b, 1], 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((EB, P16, C), lambda b, frames: (b, 0, 0),
+            pl.BlockSpec((EB, P16, C), lambda b, meta: (meta[b, 1], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hp, Wp, C),
-                         lambda b, frames: (frames[b], 0, 0, 0),
+                         lambda b, meta: (meta[b, 0], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((EB, P16, RN), lambda b, frames: (b, 0, 0),
+        out_specs=pl.BlockSpec((EB, P16, RN), lambda b, meta: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -100,23 +112,31 @@ def _surfaces(fmap_pad, frames, origin, g, n_slots):
         out_shape=jax.ShapeDtypeStruct((n_slots, P16, RN), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(15e6)),
-    )(frames, origin, g, fmap_pad)
+    )(block_meta, origin, g, fmap_pad)
 
 
-def _bucket_by_frame(jj, n_frames, n_slots):
+def _bucket_by_frame(jj, n_frames, n_slots, valid=None):
     """Sort edge ids by target frame and pad each frame group to a multiple
     of EB. Returns (slot_edge [n_slots] with E = dummy, slot_of_edge [E],
-    frame_of_block [n_slots/EB]).
+    block_meta [n_slots/EB, 2] of (frame id, any-valid-edge flag)).
+
+    Invalid (capacity-padding) edges sort into a dedicated tail group so
+    their blocks carry a zero flag and the kernel skips them — the edge
+    table is sized for the no-eviction worst case, so in a typical frame
+    the majority of rows are dead and this skip tracks the live load.
 
     Scatter-free: TPU scatters are slow, so the inverse permutation comes
     from a second argsort and the slot->edge table / block frames from
     vectorized binary searches over the (sorted, strictly increasing) slot
     assignment."""
     E = jj.shape[0]
-    order = jnp.argsort(jj, stable=True)
-    jj_sorted = jj[order]
-    # per-frame counts without bincount's scatter
-    frames = jnp.arange(n_frames + 1)
+    if valid is None:
+        valid = jnp.ones((E,), bool)
+    key = jnp.where(valid, jj, n_frames)          # invalid -> tail group
+    order = jnp.argsort(key, stable=True)
+    jj_sorted = key[order]
+    # per-group counts (n_frames + 1 groups) without bincount's scatter
+    frames = jnp.arange(n_frames + 2)
     bounds = jnp.searchsorted(jj_sorted, frames)
     counts = bounds[1:] - bounds[:-1]
     aligned = ((counts + EB - 1) // EB) * EB
@@ -137,12 +157,24 @@ def _bucket_by_frame(jj, n_frames, n_slots):
     inv = jnp.argsort(order, stable=True)
     slot_of_edge = slot_of_sorted[inv].astype(jnp.int32)
 
-    # block -> frame: frame of the block's first slot (dummy-only blocks
-    # inherit a clipped neighbor, which is harmless)
+    # block -> (frame, any-valid-edge flag): frame of the block's first
+    # slot (dummy/invalid-only blocks inherit a clipped neighbor, whose
+    # fmap fetch hits the pipeline cache and whose compute is skipped)
     b0 = jnp.arange(n_slots // EB) * EB
     posb = jnp.clip(jnp.searchsorted(slot_of_sorted, b0), 0, E - 1)
-    frame_of_block = jj_sorted[posb].astype(jnp.int32)
-    return slot_edge, slot_of_edge, frame_of_block
+    frame_of_block = jnp.clip(jj_sorted[posb], 0, n_frames - 1
+                              ).astype(jnp.int32)
+    valid_pad = jnp.concatenate([valid, jnp.zeros((1,), bool)])
+    block_live = jnp.any(valid_pad[jnp.clip(slot_edge, 0, E)]
+                         .reshape(-1, EB), axis=1)
+    # dead blocks alias the previous live block (cummax of live indices);
+    # leading dead blocks clamp to 0 and compute garbage that is never
+    # gathered — src == b is the kernel's liveness test
+    nb = n_slots // EB
+    src = jnp.maximum(jax.lax.cummax(
+        jnp.where(block_live, jnp.arange(nb), -1)), 0).astype(jnp.int32)
+    block_meta = jnp.stack([frame_of_block[src], src], axis=-1)
+    return slot_edge, slot_of_edge, block_meta
 
 
 def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
@@ -150,7 +182,8 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
 
     gmap_slots: [n_slots, P16, C] patch features already bucketed;
     fmap: [F, H, W, C]; coords_e [E, P, P, 2] at this level's scale;
-    bucketing: shared (slot_edge, slot_of_edge, frame_of_block).
+
+    bucketing: (slot_edge, slot_of_edge, block_meta).
 
     Returns blended correlation [n_slots, P2, 7, 7] fp32 in slot order —
     the caller unsorts once on the final stacked feature (much cheaper
@@ -159,7 +192,7 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
     """
     E = coords_e.shape[0]
     F, H, W, C = fmap.shape
-    slot_edge, slot_of_edge, frame_of_block = bucketing
+    slot_edge, slot_of_edge, block_meta = bucketing
 
     # pad by the window reach, plus whatever is needed so the padded map is
     # at least one region large (tiny pyramid levels)
@@ -193,7 +226,7 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
     origin = jnp.concatenate([origin, jnp.zeros((1, 2), jnp.int32)], axis=0)
 
     surf = _surfaces(fmap_pad.astype(jnp.bfloat16),
-                     frame_of_block,
+                     block_meta,
                      origin[slot_edge],
                      gmap_slots,
                      n_slots)                          # [n_slots, P16, RN]
@@ -216,18 +249,28 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
     # extract per-pixel 8x8 windows by shift-selection: the window start has
     # few possible values (y: 0..RSH-8, x: 0..RSW-8), so the dynamic crop is
     # a masked sum of static slices — pure VPU work, ~10x faster than the
-    # equivalent batched one-hot matmuls at SLAM sizes
+    # equivalent batched one-hot matmuls at SLAM sizes.
     # bf16 buffers: the masked sums are exact selections (exactly one mask
-    # is 1 per position), so no accumulation error is introduced
-    t1 = jnp.zeros((n_slots, P2, 8, RSW), jnp.bfloat16)
+    # is 1 per position), so no accumulation error is introduced.
+    # x runs first (it narrows 32 lanes to 8 before the y pass touches the
+    # data) and is decomposed into coarse (x//8: 4 shifts of width 16) and
+    # fine (x%8: 8 shifts of width 8) — 12 passes instead of 25.
+    coarse_x = rel_x_s // 8
+    fine_x = rel_x_s % 8
+    surf_p = jnp.pad(surf, ((0, 0), (0, 0), (0, 0), (0, 8)))
+    t1 = jnp.zeros((n_slots, P2, RSH, 16), jnp.bfloat16)
+    for c in range(RSW // 8):
+        m = (coarse_x == c)[:, :, None, None]
+        t1 = t1 + jnp.where(m, surf_p[:, :, :, 8 * c:8 * c + 16],
+                            0).astype(jnp.bfloat16)
+    t2 = jnp.zeros((n_slots, P2, RSH, 8), jnp.bfloat16)
+    for f in range(8):
+        m = (fine_x == f)[:, :, None, None]
+        t2 = t2 + jnp.where(m, t1[:, :, :, f:f + 8], 0).astype(jnp.bfloat16)
+    win = jnp.zeros((n_slots, P2, 8, 8), jnp.float32)
     for s in range(RSH - 8 + 1):
         m = (rel_y_s == s)[:, :, None, None]
-        t1 = t1 + jnp.where(m, surf[:, :, s:s + 8, :], 0).astype(jnp.bfloat16)
-    win = jnp.zeros((n_slots, P2, 8, 8), jnp.float32)
-    for s in range(RSW - 8 + 1):
-        m = (rel_x_s == s)[:, :, None, None]
-        win = win + jnp.where(m, t1[:, :, :, s:s + 8],
-                              0).astype(jnp.float32)
+        win = win + jnp.where(m, t2[:, :, s:s + 8, :], 0).astype(jnp.float32)
     win = win * in_region_s[:, :, None, None]
 
     # bilinear blend of the four integer shifts -> 7x7
@@ -253,10 +296,11 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
     E, Pp = coords.shape[0], coords.shape[1]
     C = gmap.shape[1]
     F = pyramid[0].shape[0]
-    n_slots = ((E + EB - 1) // EB) * EB + F * EB
+    # alignment slack for F frame groups plus the invalid-edge tail group
+    n_slots = ((E + EB - 1) // EB) * EB + (F + 1) * EB
 
     # bucketing and patch features are shared across pyramid levels
-    bucketing = _bucket_by_frame(jj, F, n_slots)
+    bucketing = _bucket_by_frame(jj, F, n_slots, valid=valid)
     slot_edge, slot_of_edge, _ = bucketing
     g = jnp.moveaxis(gmap[kk], 1, -1).reshape(E, P2, C)
     g = jnp.pad(g, ((0, 1), (0, P16 - P2), (0, 0))).astype(jnp.bfloat16)
@@ -274,7 +318,9 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
 
     # one unsort gather on the final stacked features (E x 882 bf16)
     feat = jnp.stack(outs, axis=-1).reshape(n_slots, -1)
-    feat = feat[slot_of_edge].astype(jnp.float32)
+    feat = feat[jnp.clip(slot_of_edge, 0, n_slots - 1)].astype(jnp.float32)
     if valid is not None:
-        feat = feat * valid.astype(feat.dtype)[:, None]
+        # where (not multiply): skipped-block garbage can be NaN/inf and
+        # NaN * 0 would poison the padded rows
+        feat = jnp.where(valid[:, None], feat, 0.0)
     return feat

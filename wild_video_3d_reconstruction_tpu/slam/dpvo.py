@@ -42,7 +42,9 @@ class DPVO:
         self.ht, self.wd = ht, wd
         self.M = cfg.PATCHES_PER_FRAME
         self.path = path
-        self.sync_mode = cfg.loop_enabled if sync_mode is None else sync_mode
+        # loop closure no longer forces per-frame host syncs: descriptors
+        # are computed on device and drained every LC_INTERVAL frames
+        self.sync_mode = False if sync_mode is None else sync_mode
 
         if isinstance(network, (str,)):
             self.params = convert.load_torch_checkpoint(network)
@@ -63,6 +65,15 @@ class DPVO:
         self.tstamps = np.zeros(cfg.BUFFER_SIZE, dtype=np.int64)
         self.delta = {}           # dropped frame -> (anchor tstamp, dP)
         self.loop_closure = None  # optional LongTermLoopClosure
+
+        # async loop-closure bookkeeping (descriptor/event log draining)
+        self._desc_centers = None
+        self._init_counter = None  # input counter at initialization
+        self._events_dispatched = 0
+        self._events_consumed = 0
+        self._lc_pending = None    # (first_event, log_rows, desc_rows)
+        self._lc_req_lo = 0
+        self._lc_images = {}       # input counter -> image (awaiting replay)
 
         self._build_jits()
 
@@ -87,6 +98,7 @@ class DPVO:
                     fn, static_argnums=(8,))
 
         self._frame = {}
+        centers = self._desc_centers
         for has_depth in (False, True):
             for has_mask in (False, True):
                 def ffn(state, params, image, intr, key, fac, depth, mask,
@@ -94,8 +106,19 @@ class DPVO:
                     return steps.frame_step(
                         cfg, params, state, image, intr, key, fac,
                         depth=depth if _d else None,
-                        mask=mask if _m else None)
+                        mask=mask if _m else None,
+                        desc_centers=centers)
                 self._frame[(has_depth, has_mask)] = jax.jit(ffn)
+
+        # chunked event/descriptor-log slicing for the async LC drain
+        K = cfg.LC_INTERVAL
+
+        def _slice_logs(log, desc_log, lo):
+            import jax.lax as lax
+            return (lax.dynamic_slice_in_dim(log, lo, K, 0),
+                    lax.dynamic_slice_in_dim(desc_log, lo, K, 0))
+
+        self._slice_logs = jax.jit(_slice_logs)
 
         self._probe = jax.jit(
             lambda state, params: steps.motion_probe(cfg, params, state))
@@ -158,6 +181,12 @@ class DPVO:
                 self.state, self.params, img, intr, sub, jnp.float32(fac),
                 dep, msk)
             self.counter += 1
+            self._events_dispatched += 1
+            if self.loop_closure is not None:
+                self._lc_images[self.counter - 1] = np.asarray(image)
+                if (self._events_dispatched - self._lc_req_lo
+                        >= self.cfg.LC_INTERVAL):
+                    self._lc_sync()
             return
 
         # --- warm-up / synchronous path ---------------------------------
@@ -184,6 +213,7 @@ class DPVO:
 
         if self.n_host == self.WARMUP and not self.is_initialized:
             self.is_initialized = True
+            self._init_counter = self.counter
             self.state = self._append(self.state)
             for _ in range(12):
                 self.state = self._update_only(self.state, self.params,
@@ -216,33 +246,93 @@ class DPVO:
             self.loop_closure.attempt_loop_closure(self.n_host)
 
     # ---------------------------------------------------- log-based replay
+    def enable_descriptors(self, vlad):
+        """Attach VLAD centers so frame_step logs a global descriptor per
+        tracked frame (called by LongTermLoopClosure in async mode)."""
+        self._desc_centers = jnp.asarray(vlad.centers)
+        if self.state.desc_log.shape[1] != vlad.dim:
+            # state was allocated without loop closure — grow the log
+            self.state = self.state._replace(desc_log=jnp.zeros(
+                (self.cfg.LOG_CAP, vlad.dim), jnp.bfloat16))
+        self._build_jits()
+
+    def _replay_events(self, rows, descs, first_event):
+        """Replay device log rows (events [first_event, first_event+len))
+        into host bookkeeping — timestamps, eviction delta chain, NaN
+        warnings — and feed the loop-closure callbacks in the exact order
+        the sync path would have produced."""
+        lc = self.loop_closure if not self.sync_mode else None
+        n = self.n_host
+        for e in range(rows.shape[0]):
+            c = self._init_counter + first_event + e
+            self.tstamps[n] = c
+            n += 1
+            if lc is not None:
+                img = self._lc_images.pop(c, None)
+                lc.add_descriptor(n - 1, np.asarray(descs[e], np.float32),
+                                  img)
+            removed, dP, nan_flag = rows[e, 0], rows[e, 1:8], rows[e, 9]
+            if removed > 0.5:
+                k = n - self.cfg.KEYFRAME_INDEX
+                t0, t1 = int(self.tstamps[k - 1]), int(self.tstamps[k])
+                self.delta[t1] = (t0, dP.astype(np.float32))
+                self.tstamps[k:n - 1] = self.tstamps[k + 1:n].copy()
+                n -= 1
+                if lc is not None:
+                    lc.keyframe(k)
+            if nan_flag > 0.5:
+                print(f"WARNING: NaN pose detected near input frame {c}")
+        self.n_host = n
+        self._events_consumed = first_event + rows.shape[0]
+
+    def _lc_sync(self):
+        """Pipelined drain of the device event/descriptor logs: request an
+        async device->host copy of the newest LC_INTERVAL rows, consume the
+        copy requested one interval ago (long since materialized), then
+        attempt loop closures. One non-blocking transfer per interval
+        replaces the reference's per-frame retrieval round trips."""
+        lo = self._lc_req_lo
+        log_rows, desc_rows = self._slice_logs(
+            self.state.log, self.state.desc_log, jnp.int32(lo))
+        for a in (log_rows, desc_rows):
+            try:
+                a.copy_to_host_async()
+            except Exception:       # older jax / non-addressable arrays
+                pass
+        prev = self._lc_pending
+        self._lc_pending = (lo, log_rows, desc_rows)
+        self._lc_req_lo = lo + self.cfg.LC_INTERVAL
+
+        if prev is not None:
+            plo, prows, pdescs = prev
+            self._replay_events(np.asarray(prows), np.asarray(pdescs), plo)
+            if self.loop_closure is not None:
+                self.loop_closure.attempt_loop_closure(self.n_host)
+
+    def _lc_flush(self):
+        """Consume the in-flight chunk and any unrequested tail (terminate
+        path)."""
+        if self._lc_pending is not None:
+            plo, prows, pdescs = self._lc_pending
+            self._lc_pending = None
+            self._replay_events(np.asarray(prows), np.asarray(pdescs), plo)
+        total = int(self.state.log_idx)
+        if total > self._events_consumed:
+            lo = self._events_consumed
+            rows = np.asarray(self.state.log[lo:total])
+            descs = np.asarray(self.state.desc_log[lo:total]) \
+                if self._desc_centers is not None else np.zeros((total - lo,
+                                                                 0))
+            self._replay_events(rows, descs, lo)
+
     def _replay_log(self):
         """Rebuild tstamps/delta from the device event log (async mode)."""
         if self.sync_mode or getattr(self, "_replayed", False):
             return
         self._replayed = True
-        log = np.asarray(self.state.log)
-        n_events = int(self.state.log_idx)
-        n = self.n_host                      # keyframes at initialization
-        tstamps = list(self.tstamps[:n])
-        # tracked frames are the post-init inputs, in order
-        first_tracked = self.counter - n_events
-        for e in range(n_events):
-            c = first_tracked + e
-            tstamps.append(c)
-            n += 1
-            removed, dP, mm, nan_flag = (log[e, 0], log[e, 1:8], log[e, 8],
-                                         log[e, 9])
-            if removed > 0.5:
-                k = n - self.cfg.KEYFRAME_INDEX
-                t0, t1 = tstamps[k - 1], tstamps[k]
-                self.delta[int(t1)] = (int(t0), dP.astype(np.float32))
-                del tstamps[k]
-                n -= 1
-            if nan_flag > 0.5:
-                print(f"WARNING: NaN pose detected near input frame {c}")
-        self.tstamps[:n] = tstamps
-        self.n_host = n
+        if self._init_counter is None:      # never initialized
+            return
+        self._lc_flush()
 
     # ------------------------------------------------------------- terminate
     def refine(self, iterations=12):
@@ -262,12 +352,12 @@ class DPVO:
 
         Mirrors `DPVO.terminate` (`dpvo/dpvo.py:282-303`).
         """
-        if self.loop_closure is not None:
+        self._replay_log()          # async mode: drain events first so the
+        if self.loop_closure is not None:   # final LC sees every keyframe
             self.loop_closure.terminate(self.n_host)
         if self.cfg.ENABLE_GLOBAL_BA:
             from .global_ba import run_global_ba
             run_global_ba(self.cfg, self)
-        self._replay_log()
         n = self.n_host
         poses_np = np.asarray(self.state.poses)
         traj = {int(self.tstamps[i]): poses_np[i] for i in range(n)}
@@ -361,9 +451,9 @@ class DPVO:
     def terminate_keyframe(self):
         """Keyframe-only trajectory (`DPVO.terminate_keyframe`,
         `dpvo/dpvo.py:305-324`): c2w poses + their input timestamps."""
+        self._replay_log()
         if self.loop_closure is not None:
             self.loop_closure.terminate(self.n_host)
-        self._replay_log()
         n = self.n_host
         poses = np.asarray(self.state.poses[:n])
         poses = np.asarray(lie.se3_inv(jnp.asarray(poses)))

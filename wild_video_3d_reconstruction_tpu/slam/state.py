@@ -62,6 +62,13 @@ class SLAMState(NamedTuple):
     log: jnp.ndarray
     log_idx: jnp.ndarray        # int32
 
+    # ---- per-frame global descriptors (loop closure, async mode) --------
+    # [LOG_CAP, desc_dim] bf16, indexed like `log` (one row per tracked
+    # input frame); the host drains them in chunks every LC interval
+    # instead of fetching the feature map per frame. Allocated with dim 1
+    # when loop closure is off.
+    desc_log: jnp.ndarray
+
 
 def init_state(cfg, ht, wd, feat_dtype=jnp.bfloat16):
     """Allocate the full state for images of size (ht, wd)."""
@@ -95,4 +102,8 @@ def init_state(cfg, ht, wd, feat_dtype=jnp.bfloat16):
         n_edges=jnp.asarray(0, jnp.int32),
         log=jnp.zeros((getattr(cfg, "LOG_CAP", 8192), 10), jnp.float32),
         log_idx=jnp.asarray(0, jnp.int32),
+        desc_log=jnp.zeros(
+            (getattr(cfg, "LOG_CAP", 8192) if cfg.loop_enabled else 1,
+             getattr(cfg, "DESC_DIM", 2048) if cfg.loop_enabled else 1),
+            jnp.bfloat16),
     )

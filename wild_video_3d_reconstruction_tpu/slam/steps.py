@@ -49,18 +49,28 @@ def _feat_dtype(cfg):
 # ---------------------------------------------------------------------------
 
 def insert_frame(cfg, params, state: SLAMState, image, intrinsics, key, fac,
-                 tstamp, depth=None, mask=None, initialized=False):
+                 tstamp, depth=None, mask=None, initialized=False,
+                 desc_centers=None):
     """Insert the frame at slot n = state.n_frames (not yet accepted).
 
     image: [H, W, 3] uint8; intrinsics: [4] full-res; fac: motion-model
     timestamp ratio (host scalar); depth: optional [H, W] metric depth;
-    mask: optional [H, W] bool (True = usable/static).
+    mask: optional [H, W] bool (True = usable/static); desc_centers:
+    optional VLAD centers — when given, the frame's global descriptor is
+    computed here and logged at state.log_idx so the async loop-closure
+    host drains descriptors in chunks instead of fetching feature maps.
     """
     M = cfg.PATCHES_PER_FRAME
     pmem = cfg.pmem
     n = state.n_frames
 
     feats = vonet.encode_frame(params, image, _feat_dtype(cfg))
+
+    if desc_centers is not None:
+        from ..loop.netvlad import vlad_extract
+        d = vlad_extract(feats.fmap.astype(jnp.float32), desc_centers)
+        state = state._replace(desc_log=state.desc_log.at[state.log_idx].set(
+            d.astype(state.desc_log.dtype)))
     h4, w4 = feats.fmap.shape[0], feats.fmap.shape[1]
 
     k_sel, k_depth = jax.random.split(key)
@@ -437,10 +447,11 @@ def track_and_keyframe(cfg, params, state: SLAMState):
 
 
 def frame_step(cfg, params, state: SLAMState, image, intrinsics, key, fac,
-               depth=None, mask=None):
+               depth=None, mask=None, desc_centers=None):
     """insert + track + keyframe, one dispatch, zero host fetches."""
     state = insert_frame(cfg, params, state, image, intrinsics, key, fac,
-                         None, depth=depth, mask=mask, initialized=True)
+                         None, depth=depth, mask=mask, initialized=True,
+                         desc_centers=desc_centers)
     state = state._replace(n_frames=state.n_frames + 1)
     return track_and_keyframe(cfg, params, state)
 

@@ -50,6 +50,10 @@ class DPVOConfig:
     PALLAS_CORR: bool = True
     # device-side per-frame event log capacity (>= total input frames)
     LOG_CAP: int = 8192
+    # async loop closure: global-descriptor dim (VLAD K*C) and how often
+    # the host drains the device descriptor/event logs + attempts closures
+    DESC_DIM: int = 2048
+    LC_INTERVAL: int = 16
 
     def merge_from_file(self, path):
         import yaml
