@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--frames", type=int, default=80)
     ap.add_argument("--warmup", type=int, default=25)
     ap.add_argument("--buffer", type=int, default=256)
+    ap.add_argument("--loop", action="store_true",
+                    help="enable async loop closure (measures LC-mode FPS)")
     args = ap.parse_args()
 
     import jax
@@ -43,9 +45,14 @@ def main():
     from wild_video_3d_reconstruction_tpu.slam import DPVO
     from wild_video_3d_reconstruction_tpu.utils.config import load_config
 
-    cfg = load_config(args.config, BUFFER_SIZE=args.buffer)
+    cfg = load_config(args.config, BUFFER_SIZE=args.buffer,
+                      **({"loop_enabled": True} if args.loop else {}))
 
     slam = DPVO(cfg, None, HT, WD, seed=0)
+    if args.loop:
+        from wild_video_3d_reconstruction_tpu.loop.longterm import \
+            LongTermLoopClosure
+        slam.loop_closure = LongTermLoopClosure(cfg, slam)
     # random weights would stall the motion-probe gate; force acceptance so
     # the benchmark exercises the full steady-state tracking path
     slam._probe = lambda *a: 100.0
@@ -69,7 +76,7 @@ def main():
     fps = n_timed / elapsed
 
     print(json.dumps({
-        "metric": "vo_fps_512x384_fast48",
+        "metric": "vo_fps_512x384_fast48" + ("_loop" if args.loop else ""),
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -1,6 +1,7 @@
 """Loop-closure building blocks: Umeyama/RANSAC, PGO, keypoints, retrieval."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -153,3 +154,32 @@ def test_vlad_descriptor_similarity():
     # cosine *distances*, not absolute similarity)
     assert d1 @ d2 > d1 @ d3
     assert (1 - d1 @ d2) < 0.3 * (1 - d1 @ d3)
+
+
+def test_dbow_backend_retrieval():
+    """`RETRIEVAL_BACKEND=dbow` routes the standard Retrieval protocol
+    through the native binary inverted file (`retrieval_dbow.py:28`
+    counterpart)."""
+    pytest.importorskip("ctypes")
+    from wild_video_3d_reconstruction_tpu import native
+    from wild_video_3d_reconstruction_tpu.loop.retrieval import (
+        Retrieval, make_database)
+
+    if native.get_lib() is None:
+        pytest.skip("native graphlib unavailable")
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=2048).astype(np.float32)
+    db = make_database("dbow", dim=2048, skip_window=4)
+    retr = Retrieval(db, nms=2, skip_window=4)
+    for i in range(12):
+        desc = (base + 0.02 * rng.normal(size=2048).astype(np.float32)
+                if i in (0, 10) else
+                rng.normal(size=2048).astype(np.float32))
+        retr.add_frame(i, desc)
+        retr.save_up_to(i)          # nothing evicts in this synthetic run
+    cand = retr.detect_loop(thresh=0.5, num_repeat=1)
+    assert cand is not None
+    i, j = cand
+    # the protocol clamps j to >= 1 (anchor-frame guard)
+    assert (i, j) == (10, 1), cand

@@ -214,3 +214,29 @@ def test_convert_roundtrip():
             "patchify.inet.", "inet.")
         np.testing.assert_allclose(back[k2], v, atol=0,
                                    err_msg=k)
+
+
+def test_keypoint_patch_selection():
+    """Shi-Tomasi keypoint policy (SuperPoint-equivalent of
+    `dpvo/net.py:112-117`): centers concentrate on corner structures."""
+    import numpy as np
+    from wild_video_3d_reconstruction_tpu.models import vonet
+
+    img = np.zeros((96, 128, 3), np.uint8)
+    corners_full = [(24, 32), (24, 96), (72, 32), (72, 96)]
+    for (cy, cx) in corners_full:
+        img[cy:cy + 12, cx:cx + 12] = 255     # bright squares -> 4 corners each
+
+    resp = vonet.keypoint_response_map(jnp.asarray(img))
+    assert resp.shape == ((96 - 1) // 4, (128 - 1) // 4)
+
+    M = 8
+    xy = np.asarray(vonet.select_patches(
+        jax.random.PRNGKey(0), M, resp.shape[0], resp.shape[1],
+        keypoint_map=resp))
+    assert xy.shape == (M, 2)
+    # every selected center lies within a few 1/4-res pixels of a square
+    sq = np.array([(c[1] / 4, c[0] / 4) for c in corners_full])  # (x, y)
+    for x, y in xy:
+        d = np.sqrt(((sq - [x, y]) ** 2).sum(1)).min()
+        assert d < 5.0, (x, y, d)

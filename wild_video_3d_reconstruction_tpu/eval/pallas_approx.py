@@ -126,7 +126,7 @@ def main():
     # removing the gauge: both paths start at identity)
     n = min(len(pp), len(po))
     d = pp[:n, :3] - po[:n, :3]
-    scale = max(np.linalg.norm(po[:n, :3], axis=1).max(), 1e-9)
+    scale = float(max(np.linalg.norm(po[:n, :3], axis=1).max(), 1e-9))
     rmse = float(np.sqrt((d ** 2).sum(axis=1).mean()))
     print(json.dumps({
         "metric": "pallas_vs_oracle_traj_rmse",

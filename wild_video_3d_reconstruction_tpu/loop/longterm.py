@@ -25,9 +25,9 @@ from ..ops import lie
 from ..ops import projective as pops
 from . import keypoints as kp
 from .cache import ImageCache
-from .netvlad import DescriptorDatabase, VLADDescriptor
+from .netvlad import VLADDescriptor
 from .pgo import run_pgo
-from .retrieval import Retrieval
+from .retrieval import Retrieval, make_database
 from .umeyama import ransac_umeyama
 
 MIN_NUM_INLIERS = 30
@@ -39,7 +39,8 @@ class LongTermLoopClosure:
         self.cfg = cfg
         self.slam = slam
         self.vlad = vlad or VLADDescriptor()
-        self.retrieval = Retrieval(DescriptorDatabase(self.vlad.dim))
+        backend = getattr(cfg, "RETRIEVAL_BACKEND", "vlad")
+        self.retrieval = Retrieval(make_database(backend, self.vlad.dim))
         self.imcache = ImageCache()
         self.loop_ii = np.zeros(0, np.int64)
         self.loop_jj = np.zeros(0, np.int64)

@@ -17,6 +17,41 @@ NMS = 50
 SKIP_WINDOW = 50
 
 
+class BinaryDatabase:
+    """DescriptorDatabase-protocol adapter over the native DBoW2-style
+    inverted-file retrieval (`native.BinaryRetrieval`, the counterpart of
+    the reference's `retrieval_dbow.py:28` backend). Float descriptors are
+    LSH-binarized on insert; scores are inverted-file vote counts (not
+    cosine), so tune LOOP_RETR_THRESH accordingly when selecting this
+    backend."""
+
+    def __init__(self, skip_window=SKIP_WINDOW):
+        from ..native import BinaryRetrieval
+
+        self.db = BinaryRetrieval(rad=skip_window)
+
+    def insert_desc(self, n, desc):
+        self.db.insert_image(n, np.asarray(desc, np.float32)
+                             .reshape(-1, 128))
+
+    def query_online(self, n, skip_window=50, top_k=1):
+        j, score, _ = self.db.query(n)
+        if j is None:
+            return None, None
+        return score, j
+
+
+def make_database(backend, dim, skip_window=SKIP_WINDOW, **kw):
+    """Selectable retrieval backend: "vlad" (float dot-product database,
+    the NetVLAD-equivalent default) or "dbow" (native binary inverted
+    file)."""
+    if backend == "dbow":
+        return BinaryDatabase(skip_window=skip_window)
+    from .netvlad import DescriptorDatabase
+
+    return DescriptorDatabase(dim, **kw)
+
+
 class Retrieval:
     def __init__(self, database, nms=NMS, skip_window=SKIP_WINDOW):
         self.db = database

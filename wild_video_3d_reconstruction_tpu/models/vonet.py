@@ -78,20 +78,62 @@ def image_gradient_map(image):
     return avg_pool2d(g[..., None], 4)[..., 0]
 
 
+def keypoint_response_map(image):
+    """Shi-Tomasi (min-eigenvalue) corner response on the 1/4 grid with
+    3x3 non-max suppression — the weight-free stand-in for the reference's
+    optional SuperPoint patch extractor (`dpvo/net.py:112-117`, which calls
+    an external `sp_extractor` and divides keypoints by 4).
+
+    image: [H, W, 3] uint8; returns [(H-1)//4, (W-1)//4] response, zero at
+    non-maxima.
+    """
+    gray = image.astype(jnp.float32) @ jnp.asarray([0.114, 0.587, 0.299])
+    gx = jnp.zeros_like(gray).at[:, 1:-1].set(
+        0.5 * (gray[:, 2:] - gray[:, :-2]))
+    gy = jnp.zeros_like(gray).at[1:-1, :].set(
+        0.5 * (gray[2:, :] - gray[:-2, :]))
+    win = (5, 5)
+    sxx = jax.lax.reduce_window(gx * gx, 0.0, jax.lax.add, win, (1, 1),
+                                "SAME")
+    syy = jax.lax.reduce_window(gy * gy, 0.0, jax.lax.add, win, (1, 1),
+                                "SAME")
+    sxy = jax.lax.reduce_window(gx * gy, 0.0, jax.lax.add, win, (1, 1),
+                                "SAME")
+    tr = sxx + syy
+    det = sxx * syy - sxy * sxy
+    resp = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+    resp = avg_pool2d(resp[:-1, :-1, None], 4)[..., 0]
+    pooled = jax.lax.reduce_window(resp, -jnp.inf, jax.lax.max, (3, 3),
+                                   (1, 1), "SAME")
+    return jnp.where(resp >= pooled, resp, 0.0)
+
+
 def select_patches(key, M, h, w, gradient_map=None, mask=None,
-                   oversample=3):
+                   oversample=3, keypoint_map=None):
     """Choose M patch centers on the 1/4-resolution grid.
 
-    Reproduces the three policies of `Patchifier.forward`
-    (`dpvo/net.py:129-152`) with static shapes:
+    Reproduces the four policies of `Patchifier.forward`
+    (`dpvo/net.py:112-152`) with static shapes:
       * random:        uniform ints in [1, w-1) x [1, h-1)
       * gradient bias: sample 3M, keep the top-M by pooled gradient
       * mask:          sample `oversample`*M, prefer centers whose full-res
                        pixel is unmasked (random among valid)
+      * keypoints:     top-M NMS'd corner responses (`keypoint_map`), the
+                       SuperPoint-equivalent path; weak slots fall back to
+                       random centers
     Returns float coords [M, 2] (x, y).
     """
     kx, ky, kr = jax.random.split(key, 3)
-    if gradient_map is not None:
+    if keypoint_map is not None:
+        gh, gw = keypoint_map.shape
+        score, idx = jax.lax.top_k(keypoint_map.reshape(-1), M)
+        cy = jnp.clip(idx // gw, 1, h - 2)
+        cx = jnp.clip(idx % gw, 1, w - 2)
+        rx = jax.random.randint(kx, (M,), 1, w - 1)
+        ry = jax.random.randint(ky, (M,), 1, h - 1)
+        x = jnp.where(score > 0, cx, rx)
+        y = jnp.where(score > 0, cy, ry)
+    elif gradient_map is not None:
         n = oversample * M
         x = jax.random.randint(kx, (n,), 1, w - 1)
         y = jax.random.randint(ky, (n,), 1, h - 1)

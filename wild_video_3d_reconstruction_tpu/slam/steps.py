@@ -75,8 +75,12 @@ def insert_frame(cfg, params, state: SLAMState, image, intrinsics, key, fac,
 
     k_sel, k_depth = jax.random.split(key)
     gmap_bias = vonet.image_gradient_map(image) if cfg.GRADIENT_BIAS else None
+    kp_map = (vonet.keypoint_response_map(image)
+              if getattr(cfg, "PATCH_SELECTOR", "random") == "keypoints"
+              else None)
     coords = vonet.select_patches(k_sel, M, h4, w4, gradient_map=gmap_bias,
-                                  mask=mask if gmap_bias is None else None)
+                                  mask=mask if gmap_bias is None else None,
+                                  keypoint_map=kp_map)
     imap_p, gmap_p, clr, patches = vonet.gather_patches(feats, image, coords)
 
     # ---- patch inverse-depth initialization ------------------------------
@@ -268,15 +272,53 @@ def append_edges(cfg, state: SLAMState):
 
 def retire_and_compact(cfg, state: SLAMState):
     """Drop edges whose source fell out of the removal window, then stable-
-    compact the table (`dpvo/dpvo.py:657-658`)."""
+    compact the table (`dpvo/dpvo.py:657-658`). The sort only needs to
+    cover the live prefix — rows beyond n_edges are already invalid and
+    stay in place."""
     M = cfg.PATCHES_PER_FRAME
     n = state.n_frames
+    E = state.valid.shape[0]
     keep = state.valid & (state.kk // M >= n - cfg.REMOVAL_WINDOW)
-    perm, n_valid = compact_valid(keep)
+
+    def body(n_rows):
+        def f(_):
+            perm_p, n_valid = compact_valid(keep[:n_rows])
+            tail = jnp.arange(n_rows, E, dtype=perm_p.dtype)
+            return jnp.concatenate([perm_p, tail]), n_valid
+        return f
+
+    perm, n_valid = _run_tiered(state.n_edges, E, body)
     return state._replace(
         ii=state.ii[perm], jj=state.jj[perm], kk=state.kk[perm],
         valid=keep[perm], net=state.net[perm], target=state.target[perm],
         weight=state.weight[perm], n_edges=n_valid)
+
+
+# ---------------------------------------------------------------------------
+# edge-prefix tiering: the table is prefix-compacted, so O(E) stages can run
+# on the smallest static prefix covering state.n_edges; lax.cond executes
+# only the taken branch. Capacity (`config.edge_capacity`) is the
+# eviction-free worst case that real sequences only approach during long
+# no-keyframe stretches — the common regime fits the smallest tier.
+# ---------------------------------------------------------------------------
+
+def _run_tiered(n_edges, E_full, body):
+    """body(n_rows) -> f(_) -> pytree with capacity-shaped leaves."""
+    if jax.default_backend() == "cpu" or E_full < 4096:
+        return body(E_full)(None)
+    # the cond typically runs post-append (n_edges includes the newest
+    # frame's ~2rM rows), so the lowest tier must cover steady-state live
+    # + one frame of appends: 2/5 of capacity for the shipped configs.
+    # Two tiers only — every branch duplicates the traced region, and
+    # compile time is the price.
+    tiers = sorted({min((E_full * f // 10 + 1023) // 1024 * 1024, E_full)
+                    for f in (4, 10)})
+    fn = body(tiers[-1])
+    for t in reversed(tiers[:-1]):
+        fn = (lambda t=t, nxt=fn:
+              lambda _: jax.lax.cond(n_edges <= t, body(t), nxt,
+                                     operand=None))()
+    return fn(None)
 
 
 # ---------------------------------------------------------------------------
@@ -291,24 +333,44 @@ def update_op(cfg, params, state: SLAMState, t0):
     """
     M = cfg.PATCHES_PER_FRAME
     n = state.n_frames
-
-    net2, delta, weight, coords = _run_update_net(
-        cfg, params, state, state.net, state.ii, state.jj, state.kk,
-        state.valid, n)
-
-    target = coords[:, P // 2, P // 2, :].astype(jnp.float32) + \
-        delta.astype(jnp.float32)
-    weight = weight.astype(jnp.float32) * state.valid[:, None]
-
     m_base = jnp.maximum(n - (cfg.patch_window_frames - 1), 0) * M
 
     ba_cfg = BAConfig(window=cfg.ba_window, patch_slots=cfg.patch_slots,
                       iterations=2,
                       per_patch_cap=2 * cfg.PATCH_LIFETIME + 2)
-    poses, patches = bundle_adjust(
-        state.poses, state.patches, state.intrinsics[0], target, weight,
-        1e-4, state.ii, state.jj, state.kk, state.valid, t0, n, m_base,
-        ba_cfg)
+
+    def tier_body(n_rows):
+        """Network update + BA over the first n_rows edge-table rows.
+
+        The edge table is prefix-compacted (retire_and_compact) and
+        append_edges extends the prefix, so rows beyond state.n_edges are
+        dead; running the whole O(E) region — reprojection, correlation,
+        update operator, Jacobians, Hessian assembly — on a prefix tier
+        cuts its cost proportionally. Outputs are padded back to capacity
+        (dead rows carry zero weight, so their target/net values are
+        inert)."""
+        def f(_):
+            sl = slice(None, n_rows)
+            net2, delta, weight, coords = _run_update_net(
+                cfg, params, state, state.net[sl], state.ii[sl],
+                state.jj[sl], state.kk[sl], state.valid[sl], n)
+            target = coords[:, P // 2, P // 2, :].astype(jnp.float32) + \
+                delta.astype(jnp.float32)
+            weight = weight.astype(jnp.float32) * \
+                state.valid[sl][:, None]
+            poses, patches = bundle_adjust(
+                state.poses, state.patches, state.intrinsics[0], target,
+                weight, 1e-4, state.ii[sl], state.jj[sl], state.kk[sl],
+                state.valid[sl], t0, n, m_base, ba_cfg)
+            pad = state.ii.shape[0] - n_rows
+            return (jnp.pad(net2, ((0, pad), (0, 0))),
+                    jnp.pad(target, ((0, pad), (0, 0))),
+                    jnp.pad(weight, ((0, pad), (0, 0))),
+                    poses, patches)
+        return f
+
+    net2, target, weight, poses, patches = _run_tiered(
+        state.n_edges, state.ii.shape[0], tier_body)
 
     # refresh the world-point cloud (`dpvo/dpvo.py:747-749`)
     ix = jnp.arange(state.patches.shape[0], dtype=jnp.int32) // M
@@ -324,16 +386,24 @@ def flow_metric(cfg, state: SLAMState, i, j):
     """Bidirectional mean flow magnitude between keyframes i and j over the
     live edges connecting them (`DPVO.motionmag`, `dpvo/dpvo.py:507-514`,
     with beta=0.5 as used by `keyframe`)."""
-    fm = pops.flow_mag(state.poses, state.patches, state.intrinsics,
-                       state.ii, state.jj, state.kk, beta=0.5).mean(axis=(1, 2))
+    def body(n_rows):
+        def f(_):
+            sl = slice(None, n_rows)
+            ii, jj, valid = state.ii[sl], state.jj[sl], state.valid[sl]
+            fm = pops.flow_mag(state.poses, state.patches, state.intrinsics,
+                               ii, jj, state.kk[sl],
+                               beta=0.5).mean(axis=(1, 2))
 
-    def masked_mean(m):
-        w = m.astype(jnp.float32)
-        return jnp.sum(fm * w) / jnp.maximum(w.sum(), 1.0)
+            def masked_mean(m):
+                w = m.astype(jnp.float32)
+                return jnp.sum(fm * w) / jnp.maximum(w.sum(), 1.0)
 
-    m_fwd = (state.ii == i) & (state.jj == j) & state.valid
-    m_rev = (state.ii == j) & (state.jj == i) & state.valid
-    return masked_mean(m_fwd) + masked_mean(m_rev)
+            m_fwd = (ii == i) & (jj == j) & valid
+            m_rev = (ii == j) & (jj == i) & valid
+            return masked_mean(m_fwd) + masked_mean(m_rev)
+        return f
+
+    return _run_tiered(state.n_edges, state.ii.shape[0], body)
 
 
 # ---------------------------------------------------------------------------

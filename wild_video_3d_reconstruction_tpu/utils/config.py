@@ -54,6 +54,13 @@ class DPVOConfig:
     # the host drains the device descriptor/event logs + attempts closures
     DESC_DIM: int = 2048
     LC_INTERVAL: int = 16
+    # patch-center policy: "random" (reference default), or "keypoints"
+    # (Shi-Tomasi top-M, the SuperPoint-equivalent of `dpvo/net.py:112-117`)
+    PATCH_SELECTOR: str = "random"
+    # loop-retrieval backend: "vlad" (float dot-product database, NetVLAD-
+    # equivalent) or "dbow" (native C++ binary inverted file, the
+    # `retrieval_dbow.py` counterpart)
+    RETRIEVAL_BACKEND: str = "vlad"
 
     def merge_from_file(self, path):
         import yaml

@@ -40,7 +40,11 @@ def get(name: str) -> Dataset:
     if name not in DATASETS:
         raise KeyError(f"unknown dataset '{name}'; known: "
                        f"{sorted(DATASETS)}")
-    return DATASETS[name]
+    import os
+    from dataclasses import replace
+
+    ds = DATASETS[name]
+    return replace(ds, imagedir=os.path.expandvars(ds.imagedir))
 
 
 def load_registry_yaml(path):
@@ -73,6 +77,33 @@ register(Dataset(
     stride=1,
     config="configs/default.yaml",
     notes="512x384 @ 5 FPS in-the-wild clip (reference regime)"))
+
+# in-the-wild scenes of the reference paper (`dataset_config.py:34-68`);
+# point WILD_DATA_ROOT at your download location
+register(Dataset(
+    name="he_01",
+    imagedir="${WILD_DATA_ROOT}/HELSINGBORG_wUZ_zslH3vY/clip0/512/images",
+    calib="calib/helsingborgw_UZ_zslH3vY_512.txt",
+    end=2700,
+    config="configs/default.yaml",
+    notes="Helsingborg walking tour, first 2700 frames"))
+register(Dataset(
+    name="he_02",
+    imagedir="${WILD_DATA_ROOT}/HELSINGBORG_wUZ_zslH3vY/clip0/512/images",
+    calib="calib/helsingborgw_UZ_zslH3vY_512.txt",
+    skip=2700,
+    config="configs/default.yaml",
+    notes="Helsingborg walking tour, remainder"))
+register(Dataset(
+    name="lund",
+    imagedir="${WILD_DATA_ROOT}/lund_Nhc5BNlfDms/images/512/images",
+    calib="calib/lund_Nhc5BNlfDms.txt",
+    config="configs/default.yaml"))
+register(Dataset(
+    name="uppsala",
+    imagedir="${WILD_DATA_ROOT}/upplasa_aVh_jTIP2cE/image/512/images",
+    calib="calib/upplasa_aVh_jTIP2cE.txt",
+    config="configs/default.yaml"))
 
 
 def run_multi_scenes(names, network=None, out_root="./outputs", **overrides):
