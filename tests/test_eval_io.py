@@ -112,3 +112,32 @@ def test_ply_export(tmp_path):
     data = open(f, "rb").read()
     assert data.startswith(b"ply")
     assert b"element vertex 7" in data
+
+
+def test_kitti_rel_err_and_ate_scale():
+    """TartanAir-evaluator parity metrics: zero error on identical
+    trajectories; known scale recovered by ate_scale."""
+    from wild_video_3d_reconstruction_tpu.eval import metrics
+
+    rng = np.random.default_rng(3)
+    n = 400
+    # smooth forward path, ~1.5 m/frame -> > 800 m total
+    steps = 1.5 + 0.1 * rng.normal(size=n)
+    xyz = np.zeros((n, 3))
+    xyz[:, 0] = np.cumsum(steps)
+    xyz[:, 1] = np.sin(np.linspace(0, 4, n)) * 5
+    poses = np.zeros((n, 7))
+    poses[:, :3] = xyz
+    poses[:, 6] = 1.0
+
+    t_rel, r_rel, cnt = metrics.kitti_rel_err(poses, poses)
+    assert cnt > 0
+    assert t_rel < 1e-9 and r_rel < 1e-9
+
+    est = poses.copy()
+    est[:, :3] *= 0.5                      # half-scale estimate
+    ts = np.arange(n, dtype=float)
+    rmse, s, na = metrics.ate_scale(est, ts, poses, ts)
+    assert na == n
+    assert abs(s - 2.0) < 1e-6
+    assert rmse < 1e-9

@@ -23,7 +23,8 @@ def int_or_none(value):
 def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
         end=None, timeit=False, path="./output", save_reconstruction=False,
         save_trajectory=False, export_colmap=False, plot=False,
-        loop_enabled=False, viz=False, rerun=False):
+        loop_enabled=False, viz=False, rerun=False, checkpoint_every=0,
+        resume=None):
     import jax.numpy as jnp
 
     from .io import export, stream
@@ -49,6 +50,7 @@ def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
 
     slam = None
     visualizer = None
+    n_seen = 0
     from tqdm import tqdm
     for t, image, depth, mask, intrinsics in tqdm(reader):
         if slam is None:
@@ -62,6 +64,17 @@ def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
                 from .utils.viz import Visualizer
                 visualizer = Visualizer(slam, path=f"{path}/viz",
                                         use_rerun=rerun)
+            if resume:
+                from .slam.checkpoint import load_slam
+                load_slam(slam, resume)
+                print(f"resumed from {resume} at frame {slam.counter}")
+        n_seen += 1
+        if resume and n_seen <= slam.counter:
+            continue                     # skip frames the snapshot covers
+        if checkpoint_every and slam.counter and \
+                slam.counter % checkpoint_every == 0:
+            from .slam.checkpoint import save_slam
+            save_slam(slam, f"{path}/slam_ckpt")
         with Timer("SLAM", enabled=timeit,
                    sync=(lambda: slam.state.poses) if timeit else None):
             slam(t, image, depth, mask, intrinsics)
@@ -122,6 +135,10 @@ def main(argv=None):
     parser.add_argument("--export_colmap", action="store_true")
     parser.add_argument("--plot", action="store_true")
     parser.add_argument("--set_seed", type=int, default=0)
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="snapshot SLAM state every N frames")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="resume from a slam_ckpt directory")
     parser.add_argument("--opts", nargs="+", default=[])
     args = parser.parse_args(argv)
 
@@ -143,7 +160,8 @@ def main(argv=None):
         path=args.path, save_reconstruction=args.save_reconstruction,
         save_trajectory=args.save_trajectory,
         export_colmap=args.export_colmap, plot=args.plot,
-        loop_enabled=args.loop_enabled, viz=args.viz, rerun=args.rerun)
+        loop_enabled=args.loop_enabled, viz=args.viz, rerun=args.rerun,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
 
 
 if __name__ == "__main__":

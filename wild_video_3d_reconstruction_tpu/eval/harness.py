@@ -100,6 +100,19 @@ def evaluate(dataset, datapath, network, config, trials=1, stride=2,
         gt_file = "mav0/state_groundtruth_estimate0/data.csv"
 
     results = {}
+
+    # partial-results handler: a long multi-scene run interrupted mid-way
+    # still reports what it measured (the reference registers signal +
+    # atexit dumps, `evaluation/dpvo_eva_euroc.py:83-109`)
+    import atexit
+
+    def _dump_partial():
+        if results:
+            print("\n=== partial results (interrupted) ===")
+            for scene, err in results.items():
+                print(f"{scene:45s} {err:.4f}")
+    atexit.register(_dump_partial)
+
     for scene in scenes:
         scenedir = Path(datapath) / scene
         if not scenedir.exists():
@@ -115,6 +128,7 @@ def evaluate(dataset, datapath, network, config, trials=1, stride=2,
             print(f"{scene} trial {trial}: ATE {err:.4f} ({n} assoc)")
         results[scene] = float(np.median(errs))
 
+    atexit.unregister(_dump_partial)
     print("\n=== results (ATE RMSE, median of trials) ===")
     for scene, err in results.items():
         print(f"{scene:45s} {err:.4f}")

@@ -80,6 +80,58 @@ def rpe(est_poses, gt_poses, delta=1):
         float(np.sqrt(np.mean(np.square(rerr))))
 
 
+def kitti_rel_err(est_poses, gt_poses,
+                  lengths=(100, 200, 300, 400, 500, 600, 700, 800)):
+    """KITTI-protocol relative errors: translation (%) and rotation
+    (deg/m) averaged over all sub-sequences of the given path lengths.
+
+    Counterpart of the reference's bundled TartanAir evaluator
+    (`thirdparty/tartanair_tools/evaluation/kittievaluator`-style
+    `evaluate_rpe.py`/`tartanair_evaluator.py`). est/gt: [N, 7] c2w,
+    associated 1:1. Returns (t_rel_percent, r_rel_deg_per_m, n_subseq)."""
+    import jax.numpy as jnp
+
+    est = np.asarray(est_poses, np.float64)
+    gt = np.asarray(gt_poses, np.float64)
+    n = min(len(est), len(gt))
+    dist = np.zeros(n)
+    dist[1:] = np.cumsum(np.linalg.norm(np.diff(gt[:n, :3], axis=0),
+                                        axis=1))
+
+    t_errs, r_errs, cnt = [], [], 0
+    for first in range(0, n - 1, max(1, n // 100)):
+        for L in lengths:
+            # first index at least L meters down the ground-truth path
+            last = np.searchsorted(dist, dist[first] + L)
+            if last >= n:
+                continue
+            de = lie.se3_mul(lie.se3_inv(jnp.asarray(est[first])),
+                             jnp.asarray(est[last]))
+            dg = lie.se3_mul(lie.se3_inv(jnp.asarray(gt[first])),
+                             jnp.asarray(gt[last]))
+            rel = np.asarray(lie.se3_log(
+                lie.se3_mul(lie.se3_inv(de), jnp.asarray(dg))))
+            t_errs.append(np.linalg.norm(rel[:3]) / L * 100.0)
+            r_errs.append(np.degrees(np.linalg.norm(rel[3:])) / L)
+            cnt += 1
+    if not cnt:
+        return float("nan"), float("nan"), 0
+    return float(np.mean(t_errs)), float(np.mean(r_errs)), cnt
+
+
+def ate_scale(est_poses, est_t, gt_poses, gt_t, max_diff=0.08):
+    """ATE with explicit similarity-scale report, the
+    `evaluate_ate_scale.py` protocol: returns (rmse, scale, n)."""
+    ia, ib = associate(est_t, gt_t, max_diff)
+    if len(ia) < 3:
+        return float("inf"), 1.0, 0
+    est = np.asarray(est_poses)[ia, :3]
+    gt = np.asarray(gt_poses)[ib, :3]
+    aligned, (_, _, s) = align_trajectory(est, gt, correct_scale=True)
+    err = np.linalg.norm(aligned - gt, axis=1)
+    return float(np.sqrt((err ** 2).mean())), float(s), len(ia)
+
+
 def load_tum_groundtruth(path):
     """TUM groundtruth.txt: `t x y z qx qy qz qw` (c2w)."""
     data = np.loadtxt(path, comments="#")
