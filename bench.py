@@ -42,6 +42,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: repeated bench runs skip XLA compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from wild_video_3d_reconstruction_tpu.slam import DPVO
     from wild_video_3d_reconstruction_tpu.utils.config import load_config
 

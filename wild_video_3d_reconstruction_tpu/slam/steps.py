@@ -287,7 +287,8 @@ def retire_and_compact(cfg, state: SLAMState):
             return jnp.concatenate([perm_p, tail]), n_valid
         return f
 
-    perm, n_valid = _run_tiered(state.n_edges, E, body)
+    perm, n_valid = _run_tiered(state.n_edges, E, body,
+                            getattr(cfg, 'EDGE_TIERS', 2))
     return state._replace(
         ii=state.ii[perm], jj=state.jj[perm], kk=state.kk[perm],
         valid=keep[perm], net=state.net[perm], target=state.target[perm],
@@ -302,17 +303,18 @@ def retire_and_compact(cfg, state: SLAMState):
 # no-keyframe stretches — the common regime fits the smallest tier.
 # ---------------------------------------------------------------------------
 
-def _run_tiered(n_edges, E_full, body):
+def _run_tiered(n_edges, E_full, body, n_tiers=2):
     """body(n_rows) -> f(_) -> pytree with capacity-shaped leaves."""
-    if jax.default_backend() == "cpu" or E_full < 4096:
+    if jax.default_backend() == "cpu" or E_full < 4096 or n_tiers <= 1:
         return body(E_full)(None)
     # the cond typically runs post-append (n_edges includes the newest
     # frame's ~2rM rows), so the lowest tier must cover steady-state live
     # + one frame of appends: 2/5 of capacity for the shipped configs.
-    # Two tiers only — every branch duplicates the traced region, and
-    # compile time is the price.
+    # Two tiers by default — every branch duplicates the traced region,
+    # and compile time is the price.
+    fracs = {2: (4, 10), 3: (4, 7, 10)}.get(n_tiers, (4, 10))
     tiers = sorted({min((E_full * f // 10 + 1023) // 1024 * 1024, E_full)
-                    for f in (4, 10)})
+                    for f in fracs})
     fn = body(tiers[-1])
     for t in reversed(tiers[:-1]):
         fn = (lambda t=t, nxt=fn:
@@ -370,7 +372,8 @@ def update_op(cfg, params, state: SLAMState, t0):
         return f
 
     net2, target, weight, poses, patches = _run_tiered(
-        state.n_edges, state.ii.shape[0], tier_body)
+        state.n_edges, state.ii.shape[0], tier_body,
+        getattr(cfg, 'EDGE_TIERS', 2))
 
     # refresh the world-point cloud (`dpvo/dpvo.py:747-749`)
     ix = jnp.arange(state.patches.shape[0], dtype=jnp.int32) // M
@@ -403,7 +406,8 @@ def flow_metric(cfg, state: SLAMState, i, j):
             return masked_mean(m_fwd) + masked_mean(m_rev)
         return f
 
-    return _run_tiered(state.n_edges, state.ii.shape[0], body)
+    return _run_tiered(state.n_edges, state.ii.shape[0], body,
+                       getattr(cfg, 'EDGE_TIERS', 2))
 
 
 # ---------------------------------------------------------------------------

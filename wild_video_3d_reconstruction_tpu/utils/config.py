@@ -61,6 +61,9 @@ class DPVOConfig:
     # equivalent) or "dbow" (native C++ binary inverted file, the
     # `retrieval_dbow.py` counterpart)
     RETRIEVAL_BACKEND: str = "vlad"
+    # edge-prefix tier count for O(E) stages (1 disables the lax.cond
+    # tiering; each tier duplicates the traced region -> compile time)
+    EDGE_TIERS: int = 2
 
     def merge_from_file(self, path):
         import yaml
