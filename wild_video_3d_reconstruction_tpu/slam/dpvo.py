@@ -159,6 +159,13 @@ class DPVO:
             if self.n + 1 >= self.cfg.BUFFER_SIZE:
                 raise RuntimeError(
                     "buffer full — increase cfg.BUFFER_SIZE (--buffer)")
+        if self._events_dispatched + 1 >= getattr(self.cfg, "LOG_CAP", 8192):
+            # JAX clamps out-of-bounds scatters, which would silently
+            # corrupt the last event-log row instead of failing loudly
+            raise RuntimeError(
+                "device event log full — increase cfg.LOG_CAP "
+                f"(= {getattr(self.cfg, 'LOG_CAP', 8192)}) above the "
+                "total input frame count")
 
         self.tlist.append(tstamp)
 
