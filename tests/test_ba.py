@@ -209,3 +209,39 @@ def test_ba_singular_system_keeps_poses():
     assert np.all(np.isfinite(np.asarray(poses1)))
     np.testing.assert_allclose(np.asarray(poses1), np.asarray(poses),
                                atol=1e-5)
+
+
+def test_depth_prior_regularization():
+    """mu*L prior term (`dpvo/ba.py:151-159`): patches with a positive
+    prior disparity are pulled toward it; patches without are untouched by
+    the regularizer."""
+    import jax.numpy as jnp
+    from wild_video_3d_reconstruction_tpu.ba.gauss_newton import (BAConfig,
+                                                                  bundle_adjust)
+
+    M, P = 6, 3
+    poses = jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0, 1.0]), (2, 1))
+    patches = jnp.zeros((M, 3, P, P))
+    patches = patches.at[:, 0].set(20.0).at[:, 1].set(15.0)
+    patches = patches.at[:, 2].set(0.5)
+    prior = jnp.zeros((M, 3, P, P)).at[:3, 2].set(2.0)  # prior on patches 0-2
+
+    # no observations at all: zero-weight edges -> only the prior acts
+    E = 4
+    ii = jnp.zeros(E, jnp.int32)
+    jj = jnp.ones(E, jnp.int32)
+    kk = jnp.arange(E, dtype=jnp.int32)
+    target = jnp.zeros((E, 2))
+    weight = jnp.zeros((E, 2))
+    valid = jnp.ones(E, bool)
+    cfg = BAConfig(window=2, patch_slots=M, iterations=3)
+
+    _, out = bundle_adjust(poses, patches, jnp.asarray([30., 30., 20., 15.]),
+                           target, weight, 1e-4, ii, jj, kk, valid,
+                           t0=jnp.int32(1), t1=jnp.int32(2),
+                           m_base=jnp.int32(0), cfg=cfg,
+                           patches_est=prior)
+    d = np.asarray(out[:, 2, 0, 0])
+    # prior-backed patches move toward 2.0; others stay at 0.5
+    assert np.all(d[:3] > 0.9), d
+    assert np.allclose(d[3:], 0.5, atol=1e-5), d

@@ -54,6 +54,9 @@ class BAConfig(NamedTuple):
     # (O(M * cap)); when None, a dense one-hot matmul (O(E * M)) — fine for
     # small/offline problems, prohibitive at full configs.
     per_patch_cap: int | None = None
+    # depth-prior regularization strength (`dpvo/ba.py:151-159` mu);
+    # applied only when bundle_adjust receives patches_est
+    prior_mu: float = 2.0
 
 
 def _group_by_patch(q, okq, M_, cap):
@@ -127,7 +130,7 @@ def _edge_system(poses, patches, intr, target, ii, jj, kk, cfg: BAConfig):
 
 
 def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
-                  valid, t0, t1, m_base, cfg: BAConfig):
+                  valid, t0, t1, m_base, cfg: BAConfig, patches_est=None):
     W_, M_ = cfg.window, cfg.patch_slots
     E = ii.shape[0]
 
@@ -198,6 +201,18 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
          + jnp.dot(oh_j.T, vj, preferred_element_type=jnp.float32))
     v = v.reshape(6 * W_)
 
+    if patches_est is not None:
+        # depth-prior regularization mu*L: patches with a positive prior
+        # disparity are pulled toward it (`dpvo/ba.py:151-159`, mu = 2)
+        mu = cfg.prior_mu
+        Nk_ = patches_est.shape[0]
+        slots_ = jnp.clip(m_base + jnp.arange(M_), 0, Nk_ - 1)
+        d_est = patches_est[slots_, 2, 0, 0]
+        d_cur = patches[slots_, 2, 0, 0]
+        L = (d_est > 0).astype(jnp.float32)
+        C = C + mu * L
+        u = u - mu * L * (d_cur - d_est)
+
     Q = 1.0 / (C + lam)                                        # [M]
 
     EQ = Em * Q[None, :]
@@ -251,7 +266,16 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def bundle_adjust(poses, patches, intrinsics, target, weight, lam,
-                  ii, jj, kk, valid, t0, t1, m_base, cfg: BAConfig):
+                  ii, jj, kk, valid, t0, t1, m_base, cfg: BAConfig,
+                  patches_est=None):
+    return _bundle_adjust_impl(poses, patches, intrinsics, target, weight,
+                               lam, ii, jj, kk, valid, t0, t1, m_base, cfg,
+                               patches_est)
+
+
+def _bundle_adjust_impl(poses, patches, intrinsics, target, weight, lam,
+                        ii, jj, kk, valid, t0, t1, m_base, cfg: BAConfig,
+                        patches_est=None):
     """Run cfg.iterations Gauss-Newton steps (the `fastba.BA` entry point).
 
     poses:      [N, 7] fp32 (w2c);     patches: [Nk, 3, P, P]
@@ -263,11 +287,14 @@ def bundle_adjust(poses, patches, intrinsics, target, weight, lam,
     poses = poses.astype(jnp.float32)
     patches = patches.astype(jnp.float32)
     valid = valid.astype(jnp.float32)
+    if patches_est is not None:
+        patches_est = patches_est.astype(jnp.float32)
 
     def body(_, state):
         p, z = state
         return _gn_iteration(p, z, intrinsics, target, weight, lam,
-                             ii, jj, kk, valid, t0, t1, m_base, cfg)
+                             ii, jj, kk, valid, t0, t1, m_base, cfg,
+                             patches_est=patches_est)
 
     poses, patches = jax.lax.fori_loop(0, cfg.iterations, body,
                                        (poses, patches))

@@ -363,7 +363,8 @@ def update_op(cfg, params, state: SLAMState, t0):
             poses, patches = bundle_adjust(
                 state.poses, state.patches, state.intrinsics[0], target,
                 weight, 1e-4, state.ii[sl], state.jj[sl], state.kk[sl],
-                state.valid[sl], t0, n, m_base, ba_cfg)
+                state.valid[sl], t0, n, m_base, ba_cfg,
+                patches_est=state.patches_est)
             pad = state.ii.shape[0] - n_rows
             return (jnp.pad(net2, ((0, pad), (0, 0))),
                     jnp.pad(target, ((0, pad), (0, 0))),
