@@ -303,9 +303,17 @@ def retire_and_compact(cfg, state: SLAMState):
 # no-keyframe stretches — the common regime fits the smallest tier.
 # ---------------------------------------------------------------------------
 
+# tiering engages above this edge-table size; tests lower it to force the
+# cond path on the CPU mesh (where it is otherwise skipped to keep suite
+# compile times down — the oracle corr path is tier-agnostic either way)
+TIER_MIN_EDGES = 4096
+TIER_ON_CPU = False
+
+
 def _run_tiered(n_edges, E_full, body, n_tiers=2):
     """body(n_rows) -> f(_) -> pytree with capacity-shaped leaves."""
-    if jax.default_backend() == "cpu" or E_full < 4096 or n_tiers <= 1:
+    if (jax.default_backend() == "cpu" and not TIER_ON_CPU) or \
+            E_full < TIER_MIN_EDGES or n_tiers <= 1:
         return body(E_full)(None)
     # the cond typically runs post-append (n_edges includes the newest
     # frame's ~2rM rows), so the lowest tier must cover steady-state live
