@@ -38,9 +38,22 @@ class LongTermLoopClosure:
     def __init__(self, cfg, slam, vlad=None):
         self.cfg = cfg
         self.slam = slam
-        self.vlad = vlad or VLADDescriptor()
+        # descriptor source: hloc NetVLAD (VGG16 + NetVLAD + whitening)
+        # when a checkpoint is configured, matching the reference
+        # (`netvlad_retrieval.py:24-61`); otherwise VLAD over the VO
+        # feature maps (weight-free, computable on device in async mode)
+        ckpt = getattr(cfg, "NETVLAD_CHECKPOINT", "")
+        if ckpt:
+            from .netvlad_hloc import HlocNetVLAD
+            self.netvlad = HlocNetVLAD(checkpoint=ckpt)
+            self.vlad = vlad or VLADDescriptor()
+            desc_dim = self.netvlad.dim
+        else:
+            self.netvlad = None
+            self.vlad = vlad or VLADDescriptor()
+            desc_dim = self.vlad.dim
         backend = getattr(cfg, "RETRIEVAL_BACKEND", "vlad")
-        self.retrieval = Retrieval(make_database(backend, self.vlad.dim))
+        self.retrieval = Retrieval(make_database(backend, desc_dim))
         self.imcache = ImageCache()
         self.loop_ii = np.zeros(0, np.int64)
         self.loop_jj = np.zeros(0, np.int64)
@@ -48,23 +61,31 @@ class LongTermLoopClosure:
         self._encode = jax.jit(
             lambda params, img: vonet.encode_frame(params, img,
                                                    jnp.float32).fmap)
-        if not slam.sync_mode and hasattr(slam, "enable_descriptors"):
+        if self.netvlad is None and not slam.sync_mode and \
+                hasattr(slam, "enable_descriptors"):
             # async mode: descriptors come from the device log
             slam.enable_descriptors(self.vlad)
 
     # ------------------------------------------------------------ per frame
-    def __call__(self, image, n, tstamp):
-        """Synchronous ingest (warm-up frames and sync_mode): fetch the
-        frame's feature map and extract the descriptor host-side."""
+    def _describe(self, image, n):
+        if self.netvlad is not None:
+            return self.netvlad.extract_image(np.asarray(image))
         slot = n % self.cfg.pmem
         fmap = np.asarray(self.slam.state.fmap1[slot], np.float32)
-        self.retrieval.add_frame(n, self.vlad.extract(fmap))
+        return self.vlad.extract(fmap)
+
+    def __call__(self, image, n, tstamp):
+        """Synchronous ingest (warm-up frames and sync_mode): extract the
+        frame's global descriptor host-side."""
+        self.retrieval.add_frame(n, self._describe(image, n))
         self.imcache.add_frame(image, n)
 
     def add_descriptor(self, n, desc, image):
-        """Async ingest: descriptor drained from the device log; image from
-        the host-side counter buffer (may be None on replay of frames whose
-        image was consumed — never happens in normal operation)."""
+        """Async ingest: descriptor drained from the device log (feature
+        VLAD) or recomputed from the cached image (hloc NetVLAD); image
+        from the host-side counter buffer."""
+        if self.netvlad is not None and image is not None:
+            desc = self.netvlad.extract_image(image)
         self.retrieval.add_frame(n, desc)
         if image is not None:
             self.imcache.add_frame(image, n)

@@ -64,6 +64,9 @@ class DPVOConfig:
     # edge-prefix tier count for O(E) stages (1 disables the lax.cond
     # tiering; each tier duplicates the traced region -> compile time)
     EDGE_TIERS: int = 2
+    # path to an hloc NetVLAD torch checkpoint (VGG16+NetVLAD+whitening);
+    # empty -> weight-free VLAD over VO features
+    NETVLAD_CHECKPOINT: str = ""
 
     def merge_from_file(self, path):
         import yaml
