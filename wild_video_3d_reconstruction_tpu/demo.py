@@ -25,7 +25,6 @@ def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
         save_trajectory=False, export_colmap=False, plot=False,
         loop_enabled=False, viz=False, rerun=False, checkpoint_every=0,
         resume=None):
-    import jax.numpy as jnp
 
     from .io import export, stream
     from .slam import DPVO

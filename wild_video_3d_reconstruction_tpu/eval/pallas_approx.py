@@ -26,7 +26,6 @@ import json
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 
 def clip_stats(coords, shapes, valid):

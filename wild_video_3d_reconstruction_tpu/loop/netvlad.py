@@ -11,7 +11,6 @@ pickle cache workflow.
 
 from __future__ import annotations
 
-import functools
 import os
 import pickle
 from pathlib import Path

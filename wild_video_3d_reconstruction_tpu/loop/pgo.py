@@ -12,7 +12,6 @@ and avoids a TPU round-trip per LM step).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,6 @@ the optimization ledger (see git history).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

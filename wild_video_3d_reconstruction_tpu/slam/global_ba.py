@@ -23,7 +23,7 @@ from ..models.update import update_forward
 from ..models.vonet import DIM, P
 from ..ops import projective as pops
 from ..ops.segment import neighbors
-from .steps import _feat_dtype, _run_update_net
+from .steps import _feat_dtype
 
 
 def _pair_distance_matrix(cfg, state, n_cap, chunk=64):

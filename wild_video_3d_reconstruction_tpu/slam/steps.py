@@ -23,7 +23,7 @@ magnitude, relative pose on eviction) — everything else stays resident.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..ba.gauss_newton import BAConfig, bundle_adjust
 from ..models import vonet
 from ..models.update import update_forward
-from ..models.vonet import DIM, FDIM, P, RES
+from ..models.vonet import DIM, P, RES
 from ..ops import lie
 from ..ops import projective as pops
 from ..ops.corr import patch_corr_pyramid

@@ -17,7 +17,6 @@ Differences by design (static shapes for XLA):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

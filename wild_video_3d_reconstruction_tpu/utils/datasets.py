@@ -9,7 +9,7 @@ sequence by name. Entries here are examples — register your own with
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 
