@@ -49,3 +49,22 @@ def test_training_forward_differentiable():
     gnorm = jax.tree.reduce(
         lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads, 0.0)
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+@pytest.mark.slow
+def test_loss_decreases_over_steps():
+    """The sharded training step actually learns: repeated steps on one
+    fixed batch reduce the supervised loss."""
+    tc = TrainConfig(frames=4, patches=4, steps=1)
+    mesh = make_mesh(8)
+    params = init_vonet(jax.random.PRNGKey(0))
+    step, params, opt_state = build_train_step(mesh, params, tc)
+    batch = make_synthetic_batch(jax.random.PRNGKey(1), batch_size=4, tc=tc,
+                                 ht=32, wd=32)
+    losses = []
+    for i in range(8):
+        params, opt_state, metrics = step(params, opt_state, batch,
+                                          jax.random.PRNGKey(2))  # fixed key
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
