@@ -53,7 +53,10 @@ class LongTermLoopClosure:
             self.vlad = vlad or VLADDescriptor()
             desc_dim = self.vlad.dim
         backend = getattr(cfg, "RETRIEVAL_BACKEND", "vlad")
-        self.retrieval = Retrieval(make_database(backend, desc_dim))
+        skip = getattr(cfg, "LOOP_SKIP_WINDOW", 50)
+        self.retrieval = Retrieval(
+            make_database(backend, desc_dim, skip_window=skip),
+            skip_window=skip)
         self.imcache = ImageCache()
         self.loop_ii = np.zeros(0, np.int64)
         self.loop_jj = np.zeros(0, np.int64)

@@ -67,6 +67,9 @@ class DPVOConfig:
     # path to an hloc NetVLAD torch checkpoint (VGG16+NetVLAD+whitening);
     # empty -> weight-free VLAD over VO features
     NETVLAD_CHECKPOINT: str = ""
+    # retrieval ignores frames newer than this when querying (the
+    # reference hard-codes SKIP_WINDOW=50, `retrieval_netvlad.py:26`)
+    LOOP_SKIP_WINDOW: int = 50
 
     def merge_from_file(self, path):
         import yaml
