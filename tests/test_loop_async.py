@@ -78,6 +78,8 @@ def test_async_image_cache_matches_sync(pair):
     image cache (clears `saved`), matching the reference's tempdir
     teardown."""
     (a, la), (b, lb) = pair
+    la.imcache.flush()
+    lb.imcache.flush()
     assert set(la.imcache.saved) == set(lb.imcache.saved)
     if not a.delta:            # never-evict: frames must actually persist
         assert len(la.imcache.saved) > 0

@@ -29,6 +29,7 @@ def test_descriptors_and_cache_populated(slam_with_lc):
     # descriptors are committed once frames can no longer be evicted
     lc.retrieval.save_up_to(slam.n_host - 1)
     lc.imcache.save_up_to(slam.n_host - 1)
+    lc.imcache.flush()
     assert lc.retrieval.stored[:4].any()
     assert len(lc.imcache.saved) > 0
     frames = lc.imcache.load_frames([1, 2, 3])
