@@ -17,8 +17,13 @@ a region-matmul formulation that keeps everything in VMEM and feeds the MXU:
      sublane tile (P16=16) makes every per-edge diagonal-block slice
      exactly tile-aligned — the kernel contains zero Mosaic relayouts.
   4. The 8x8 windows at per-pixel offsets are extracted OUTSIDE the kernel
-     with two one-hot einsums (no gathers), then bilinearly blended —
+     by masked static-shift selection (x decomposed into 4 coarse + 8 fine
+     shifts, then 9 y shifts — no gathers), then bilinearly blended —
      numerics matching `correlation_kernel.cu:83-136,221-232` in bf16.
+  5. Invalid (capacity-padding) edges bucket into a tail group; their
+     blocks alias the previous live block in the input index maps, so the
+     pipeline's revisit detection elides their copies and pl.when skips
+     their matmuls.
 
 Approximation: all nine patch-pixel windows of an edge must fit in the
 region, i.e. the reprojected patch spread must be <= 8 px at the pyramid
