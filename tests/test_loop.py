@@ -183,3 +183,48 @@ def test_dbow_backend_retrieval():
     i, j = cand
     # the protocol clamps j to >= 1 (anchor-frame guard)
     assert (i, j) == (10, 1), cand
+
+
+def test_pgo_device_matches_host():
+    """The on-device dense-LM PGO must match the host sparse-LM result on
+    the same synthetic loop graph (both start from the same drifted
+    estimate and optimize the same constraints)."""
+    n = 24
+    rng = np.random.default_rng(5)
+    angles = np.linspace(0, 2 * np.pi, n)
+    xi = np.zeros((n, 6))
+    xi[:, 0] = np.cos(angles)
+    xi[:, 1] = np.sin(angles)
+    gt = np.asarray(lie.se3_exp(jnp.asarray(xi, jnp.float32)))
+    est = [gt[0]]
+    for k in range(1, n):
+        rel = np.asarray(lie.se3_mul(jnp.asarray(gt[k]),
+                                     lie.se3_inv(jnp.asarray(gt[k - 1]))))
+        noise = np.zeros(6)
+        noise[:3] = 0.03 * rng.normal(size=3)
+        rel = np.asarray(lie.se3_mul(
+            lie.se3_exp(jnp.asarray(noise, jnp.float32)), jnp.asarray(rel)))
+        est.append(np.asarray(lie.se3_mul(jnp.asarray(rel),
+                                          jnp.asarray(est[-1]))))
+    est = np.stack(est).astype(np.float32)
+
+    i, j = n - 2, 1
+    C = np.asarray(lie.se3_to_sim3(lie.se3_mul(
+        jnp.asarray(gt[j]), lie.se3_inv(jnp.asarray(gt[i])))))[None]
+    c2w = np.asarray(lie.se3_inv(jnp.asarray(est)))
+
+    host = pgo.perform_updates(c2w, C, np.asarray([i]), np.asarray([j]),
+                               iters=25)
+    dev = pgo.perform_updates_device(c2w, C, np.asarray([i]),
+                                     np.asarray([j]), iters=25)
+
+    # both must satisfy the loop constraint equally well
+    def loop_residual(sim3_poses):
+        w2c = np.asarray(lie.sim3_inv(jnp.asarray(sim3_poses)))
+        r = lie.sim3_log(lie.sim3_mul(jnp.asarray(C[0]), lie.sim3_mul(
+            jnp.asarray(w2c[i]), lie.sim3_inv(jnp.asarray(w2c[j])))))
+        return float(np.linalg.norm(np.asarray(r)))
+
+    rh, rd = loop_residual(host), loop_residual(dev)
+    assert rd < 0.05, rd
+    assert abs(rh - rd) < 0.05, (rh, rd)

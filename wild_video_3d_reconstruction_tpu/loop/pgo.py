@@ -142,3 +142,76 @@ def run_pgo(poses_w2c, loop_constants, loop_ii, loop_jj, iters=30):
     final = np.asarray(lie.sim3_mul(
         jnp.broadcast_to(correction, final.shape), jnp.asarray(final)))
     return final[:safe_i]
+
+
+# ---------------------------------------------------------------------------
+# fully on-device LM (one jit, dense normal equations)
+# ---------------------------------------------------------------------------
+# The host LM above costs one device round-trip per iteration (fine on a
+# local chip, ~65 ms each on a relay-attached TPU). For pose graphs up to a
+# few hundred keyframes the dense [7n, 7n] system is tiny for the MXU, so
+# the whole LM loop can run as a single jitted lax.fori_loop — the
+# "on-device PGO" half of the north-star. Beyond ~512 poses prefer the
+# host sparse path.
+
+import functools as _ft
+
+
+@_ft.partial(jax.jit, static_argnames=("iters", "n"))
+def _device_lm(Ginv0, constants, iii, jjj, n, iters=30, ep=0.0,
+               lmbda0=1e-6):
+    E = iii.shape[0]
+    oh_i = jax.nn.one_hot(iii, n, dtype=jnp.float32)      # [E, n]
+    oh_j = jax.nn.one_hot(jjj, n, dtype=jnp.float32)
+
+    def normal_step(Ginv, lmbda):
+        r, Ji, Jj = _edge_residual_and_jac(constants, Ginv[iii], Ginv[jjj])
+        cost = jnp.mean(jnp.square(r))
+        # dense J^T J via one-hot contractions (block structure [n,7,n,7])
+        JtJ_ii = jnp.einsum("ea,erc,erd,eb->acbd", oh_i, Ji, Ji, oh_i)
+        JtJ_ij = jnp.einsum("ea,erc,erd,eb->acbd", oh_i, Ji, Jj, oh_j)
+        JtJ_jj = jnp.einsum("ea,erc,erd,eb->acbd", oh_j, Jj, Jj, oh_j)
+        H = (JtJ_ii + JtJ_ij + jnp.swapaxes(
+            jnp.swapaxes(JtJ_ij, 0, 2), 1, 3) + JtJ_jj
+        ).reshape(7 * n, 7 * n)
+        g = (jnp.einsum("ea,erc,er->ac", oh_i, Ji, r)
+             + jnp.einsum("ea,erc,er->ac", oh_j, Jj, r)).reshape(7 * n)
+        diag = jnp.diag_indices(7 * n)
+        H = H.at[diag].add(lmbda * H[diag] + ep)
+        # gauge: clamp the first pose (the sparse path does the same by
+        # construction of the sequential chain + re-anchoring)
+        delta = jnp.linalg.solve(
+            H + jnp.eye(7 * n) * 1e-8, -g).reshape(n, 7)
+        return cost, delta
+
+    def body(_, state):
+        Ginv, lmbda = state
+        cost, delta = normal_step(Ginv, lmbda)
+        G_try = Ginv + delta
+        r_new = _edge_residual(constants, G_try[iii], G_try[jjj])
+        better = jnp.mean(jnp.square(r_new)) < cost
+        Ginv = jnp.where(better, G_try, Ginv)
+        lmbda = jnp.where(better, lmbda * 0.5, lmbda * 2.0)
+        return Ginv, lmbda
+
+    Ginv, _ = jax.lax.fori_loop(0, iters, body, (Ginv0, lmbda0))
+    return Ginv
+
+
+def perform_updates_device(poses_c2w, loop_constants, loop_ii, loop_jj,
+                           iters=30, ep=0.0, lmbda=1e-6):
+    """On-device counterpart of `perform_updates` (same inputs/outputs)."""
+    poses_c2w = np.asarray(poses_c2w, np.float32)
+    n = poses_c2w.shape[0]
+    w2c = lie.sim3_inv(lie.se3_to_sim3(jnp.asarray(poses_c2w)))
+    Ginv = lie.sim3_log(w2c)
+    kk = np.arange(1, n)
+    ll = kk - 1
+    dSij = lie.sim3_mul(w2c[ll], lie.sim3_inv(w2c[kk]))
+    constants = jnp.concatenate(
+        [dSij, jnp.asarray(loop_constants, jnp.float32)], axis=0)
+    iii = jnp.asarray(np.concatenate([kk, np.asarray(loop_ii)]), jnp.int32)
+    jjj = jnp.asarray(np.concatenate([ll, np.asarray(loop_jj)]), jnp.int32)
+    Ginv = _device_lm(Ginv, constants, iii, jjj, n, iters=iters, ep=ep,
+                      lmbda0=lmbda)
+    return np.asarray(lie.sim3_inv(lie.sim3_exp(Ginv)))
