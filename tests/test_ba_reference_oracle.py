@@ -86,6 +86,11 @@ class SE3Shim:
     def __getitem__(self, idx):
         return SE3Shim(self.data[idx])
 
+    def __setitem__(self, idx, value):
+        # lietorch SE3 supports raw-data item assignment (used by the
+        # translation-only branch of `projective_ops.transform`)
+        self.data[idx] = value
+
     def inv(self):
         qi = _qinv(self.data[..., 3:])
         t = -_qrot(qi, self.data[..., :3])
@@ -130,6 +135,10 @@ class SE3Shim:
     @property
     def shape(self):
         return self.data.shape[:-1]
+
+    @property
+    def device(self):
+        return self.data.device
 
 
 @pytest.fixture(scope="module")
@@ -245,3 +254,52 @@ def test_ba_matches_reference_python_ba(ref_ba):
     ref_d = ref_patches[0, :, 2, 1, 1].numpy()
     our_d = np.asarray(patches_j[:, 2, 1, 1])
     np.testing.assert_allclose(our_d, ref_d, atol=2e-4)
+
+
+def test_projective_ops_match_reference(ref_ba):
+    """transform / flow_mag center coordinates vs the reference
+    `projective_ops.py` on identical state (same SE3 shim)."""
+    import dpvo.projective_ops as rpops
+
+    import jax.numpy as jnp
+
+    from wild_video_3d_reconstruction_tpu.ops import projective as pops
+
+    rng = np.random.default_rng(1)
+    n, Nk, P = 4, 10, 3
+    xi = 0.04 * rng.normal(size=(n, 6)).astype(np.float32)
+    poses_t = _se3_exp(torch.from_numpy(xi))
+    patches_np = np.zeros((Nk, 3, P, P), np.float32)
+    ctr = rng.uniform(12, 40, size=(Nk, 1, 1, 2))
+    offs = np.arange(3) - 1
+    patches_np[:, 0] = ctr[..., 0] + offs[None, None, :]
+    patches_np[:, 1] = ctr[..., 1] + offs[None, :, None]
+    patches_np[:, 2] = rng.uniform(0.5, 2.0, size=(Nk, 1, 1))
+    intr = np.array([40.0, 41.0, 32.0, 24.0], np.float32)
+    intr_t = torch.from_numpy(intr).repeat(n, 1)[None]
+
+    kk = np.arange(Nk)
+    ii = kk % n
+    jj = (kk + 1) % n
+
+    with torch.no_grad():
+        ref_c = rpops.transform(
+            SE3Shim(poses_t[None]), torch.from_numpy(patches_np)[None],
+            intr_t, torch.from_numpy(ii), torch.from_numpy(jj),
+            torch.from_numpy(kk))[0].numpy()
+        ref_fm = rpops.flow_mag(
+            SE3Shim(poses_t[None]), torch.from_numpy(patches_np)[None],
+            intr_t, torch.from_numpy(ii), torch.from_numpy(jj),
+            torch.from_numpy(kk), beta=0.5)[0].numpy()
+
+    intr_rows = jnp.tile(jnp.asarray(intr)[None], (n, 1))
+    our_c = np.asarray(pops.transform(
+        jnp.asarray(poses_t.numpy()), jnp.asarray(patches_np),
+        intr_rows, jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk)))
+    our_fm = np.asarray(pops.flow_mag(
+        jnp.asarray(poses_t.numpy()), jnp.asarray(patches_np),
+        intr_rows, jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk),
+        beta=0.5))
+
+    np.testing.assert_allclose(our_c, ref_c, atol=1e-4)
+    np.testing.assert_allclose(our_fm, ref_fm, atol=1e-4)
