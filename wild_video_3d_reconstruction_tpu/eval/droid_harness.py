@@ -137,7 +137,7 @@ class DenseVO:
         self.stride = stride
         self.window = window
         self.kf_thresh = kf_thresh
-        self.intr = jnp.asarray(intrinsics, jnp.float32) / stride * stride
+        self.intr = jnp.asarray(intrinsics, jnp.float32)
         self.poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32),
                              (buffer, 1))
         self.disps = np.full((buffer, ht, wd), 0.5, np.float32)
