@@ -89,3 +89,51 @@ def test_patchify_out_of_bounds_zero():
     fmap = jnp.ones((8, 8, 2))
     out = patchify_ops.patchify(fmap, jnp.asarray([[-5.0, -5.0]]), radius=1)
     np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_oracle_matches_cuda_kernel_transcription():
+    """`patch_corr_level` vs a literal numpy transcription of the CUDA
+    forward kernel + host bilinear blend
+    (`correlation_kernel.cu:83-136,221-232`): integer-grid sampling at
+    floor(coord)+off-R with zero outside bounds, then 4-shift blend with
+    the fractional parts, output layout [dx_win, dy_win, pi, pj]."""
+    rng = np.random.default_rng(7)
+    F, H, W, C = 3, 20, 28, 8
+    Ek, P, R = 6, 3, 3
+    E = 10
+    gmap = rng.normal(size=(Ek, C, P, P)).astype(np.float32)
+    fmap = rng.normal(size=(F, H, W, C)).astype(np.float32)
+    kk = rng.integers(0, Ek, E)
+    jj = rng.integers(0, F, E)
+    coords = rng.uniform(-2, max(H, W) + 2, size=(E, P, P, 2)
+                         ).astype(np.float32)
+
+    D = 2 * R + 2
+    corr = np.zeros((E, P, P, D, D), np.float32)   # [e, i0, j0, iy, jx]
+    for e in range(E):
+        for i0 in range(P):
+            for j0 in range(P):
+                x, y = coords[e, i0, j0]
+                f1 = gmap[kk[e], :, i0, j0]
+                for iy in range(D):
+                    for jx in range(D):
+                        i1 = int(np.floor(y)) + (iy - R)
+                        j1 = int(np.floor(x)) + (jx - R)
+                        if 0 <= i1 < H and 0 <= j1 < W:
+                            corr[e, i0, j0, iy, jx] = \
+                                f1 @ fmap[jj[e], i1, j1]
+    dx = (coords[..., 0] - np.floor(coords[..., 0]))[..., None, None]
+    dy = (coords[..., 1] - np.floor(coords[..., 1]))[..., None, None]
+    d = D - 1
+    blend = ((1 - dx) * (1 - dy) * corr[..., :d, :d]
+             + dx * (1 - dy) * corr[..., :d, 1:]
+             + (1 - dx) * dy * corr[..., 1:, :d]
+             + dx * dy * corr[..., 1:, 1:])        # [e, i0, j0, y, x]
+    # kernel output permute (0,1,3,2,4,5): [e, x_win, y_win, i0, j0]
+    ref = blend.transpose(0, 4, 3, 1, 2)
+
+    out = np.asarray(corr_ops.patch_corr_level(
+        jnp.asarray(gmap), jnp.asarray(fmap), jnp.asarray(coords),
+        jnp.asarray(kk), jnp.asarray(jj), radius=R))
+    # ours returns [E, 2R+1, 2R+1, P, P] in the same (x, y, pi, pj) order
+    np.testing.assert_allclose(out, ref, atol=1e-4)
