@@ -137,3 +137,35 @@ def test_oracle_matches_cuda_kernel_transcription():
         jnp.asarray(kk), jnp.asarray(jj), radius=R))
     # ours returns [E, 2R+1, 2R+1, P, P] in the same (x, y, pi, pj) order
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_patchify_matches_cuda_transcription():
+    """`ops.patchify.patchify` vs a literal transcription of the altcorr
+    patchify semantics (`correlation.py:51-68`): (2R+2)-window extract at
+    floor(coord)+off-R with zero padding, then the 4-shift bilinear
+    blend x00..x11."""
+    rng = np.random.default_rng(9)
+    H, W, C, M, R = 18, 24, 5, 7, 1
+    fmap = rng.normal(size=(H, W, C)).astype(np.float32)
+    coords = rng.uniform(-1, max(H, W), size=(M, 2)).astype(np.float32)
+
+    D = 2 * R + 2
+    win = np.zeros((M, C, D, D), np.float32)
+    for m in range(M):
+        x0, y0 = np.floor(coords[m]).astype(int)
+        for iy in range(D):
+            for jx in range(D):
+                yy, xx = y0 + iy - R, x0 + jx - R
+                if 0 <= yy < H and 0 <= xx < W:
+                    win[m, :, iy, jx] = fmap[yy, xx]
+    dx = (coords[:, 0] - np.floor(coords[:, 0]))[:, None, None, None]
+    dy = (coords[:, 1] - np.floor(coords[:, 1]))[:, None, None, None]
+    d = D - 1
+    ref = ((1 - dy) * (1 - dx) * win[..., :d, :d]
+           + (1 - dy) * dx * win[..., :d, 1:]
+           + dy * (1 - dx) * win[..., 1:, :d]
+           + dy * dx * win[..., 1:, 1:])
+
+    out = np.asarray(patchify_ops.patchify(jnp.asarray(fmap),
+                                           jnp.asarray(coords), radius=R))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
