@@ -68,3 +68,28 @@ def test_loss_decreases_over_steps():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_edge_sharded_correlation_matches_unsharded():
+    """shard_map edge-parallel correlation == single-device oracle."""
+    from wild_video_3d_reconstruction_tpu.ops.corr import patch_corr_pyramid
+    from wild_video_3d_reconstruction_tpu.parallel.infer_shard import (
+        make_edge_mesh, sharded_patch_corr)
+
+    rng = np.random.default_rng(0)
+    F, H, W, C = 4, 32, 48, 16
+    Ek, E = 12, 64
+    gmap = jnp.asarray(rng.normal(size=(Ek, C, 3, 3)), jnp.float32)
+    f1 = jnp.asarray(rng.normal(size=(F, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(F, H // 4, W // 4, C)), jnp.float32)
+    kk = jnp.asarray(rng.integers(0, Ek, E), jnp.int32)
+    jjj = jnp.asarray(rng.integers(0, F, E), jnp.int32)
+    coords = jnp.asarray(rng.uniform(4, 24, size=(E, 3, 3, 2)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=E) > 0.2)
+
+    ref = np.asarray(patch_corr_pyramid(gmap, (f1, f2), coords, kk, jjj,
+                                        radius=3, valid=valid, chunk=32))
+    mesh = make_edge_mesh(8)
+    out = np.asarray(sharded_patch_corr(mesh, gmap, (f1, f2), coords, kk,
+                                        jjj, valid, chunk=32))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
