@@ -26,4 +26,4 @@ Layout (mirrors SURVEY.md section 7 build plan):
   native/    C++ host-side runtime components (graph bookkeeping, retrieval)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
