@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--buffer", type=int, default=256)
     ap.add_argument("--loop", action="store_true",
                     help="enable async loop closure (measures LC-mode FPS)")
+    ap.add_argument("--fused", action="store_true",
+                    help="A/B: v2 Pallas kernel (in-kernel extraction)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +54,8 @@ def main():
     from wild_video_3d_reconstruction_tpu.utils.config import load_config
 
     cfg = load_config(args.config, BUFFER_SIZE=args.buffer,
-                      **({"loop_enabled": True} if args.loop else {}))
+                      **({"loop_enabled": True} if args.loop else {}),
+                      **({"PALLAS_FUSED": True} if args.fused else {}))
 
     slam = DPVO(cfg, None, HT, WD, seed=0)
     if args.loop:

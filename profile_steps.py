@@ -66,7 +66,7 @@ def main():
     f_full = slam._frame[(False, False)]
     zero_img = jnp.zeros((1, 1), jnp.float32)
     zmask = zero_img > 0
-    t_full = timeit(lambda: f_full(state, params, img, intr_j, key,
+    t_full = timeit(lambda: f_full(state, params, img, intr_j,
                                    jnp.float32(1.0), zero_img, zmask),
                     sync_state)
     print(f"frame_step (full)            {t_full:7.2f} ms")

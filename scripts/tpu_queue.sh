@@ -1,0 +1,35 @@
+#!/bin/bash
+# TPU measurement queue — run the moment the relay tunnel is back.
+# Each stage logs to /tmp/tpuq/ and keeps going on failure; first compiles
+# of frame_step-sized jits take 3-8 min each (remote compile helper), so
+# every stage gets a long timeout. Run with:
+#   bash scripts/tpu_queue.sh            # full queue
+#   bash scripts/tpu_queue.sh bench      # just one stage
+set -u
+mkdir -p /tmp/tpuq
+cd "$(dirname "$0")/.."
+
+stage() {
+  local name=$1; shift
+  local tmo=$1; shift
+  if [ $# -eq 0 ]; then return; fi
+  echo "=== $name ($(date -u +%H:%M:%S)) ==="
+  timeout "$tmo" python -u "$@" > "/tmp/tpuq/$name.log" 2>&1
+  echo "rc=$? (log: /tmp/tpuq/$name.log)"
+  tail -15 "/tmp/tpuq/$name.log"
+}
+
+want() { local s=$1; shift; [ $# -eq 0 ] || [[ " $* " == *" $s "* ]]; }
+
+# 0. sanity: device answers
+timeout 120 python -u -c "import jax; print(jax.devices())" || {
+  echo "TPU still down"; exit 1; }
+
+want profile "$@" && stage profile 2400 profile_steps.py
+want bench   "$@" && stage bench 1800 bench.py
+want bench384 "$@" && stage bench384 2400 bench.py --config configs/default.yaml --frames 60 --warmup 20
+want fused   "$@" && stage fused 2400 bench.py --fused
+want loop    "$@" && stage loop 1800 bench.py --loop
+want numerics "$@" && stage numerics 1800 -m pytest tests/test_pallas_corr.py -q -x
+want approx  "$@" && stage approx 2400 -m wild_video_3d_reconstruction_tpu.eval.pallas_approx --frames 28 --size 192 256
+echo "=== queue done ==="

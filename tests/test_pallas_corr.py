@@ -62,6 +62,41 @@ def test_pallas_valid_mask():
     assert np.abs(out[0]).max() > 0
 
 
+def test_pallas_fused_matches_oracle():
+    """v2 kernel (in-kernel extraction + blend) vs the XLA oracle."""
+    gmap, pyr, coords, kk, jj = make_inputs(jax.random.PRNGKey(3))
+    ref = np.asarray(corr_ops.patch_corr_pyramid(gmap, pyr, coords, kk, jj,
+                                                 radius=3))
+    out = np.asarray(pallas_corr.patch_corr_pyramid_pallas(
+        gmap, pyr, coords, kk, jj, fused=True))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2, \
+        np.abs(out - ref).max() / scale
+
+
+def test_pallas_fused_matches_v1():
+    """The two kernel paths share bucketing/region logic: identical inputs
+    must agree to bf16 blend rounding (tighter than the oracle bound)."""
+    gmap, pyr, coords, kk, jj = make_inputs(jax.random.PRNGKey(4), E=21)
+    v1 = np.asarray(pallas_corr.patch_corr_pyramid_pallas(
+        gmap, pyr, coords, kk, jj))
+    v2 = np.asarray(pallas_corr.patch_corr_pyramid_pallas(
+        gmap, pyr, coords, kk, jj, fused=True))
+    scale = np.abs(v1).max() + 1e-6
+    assert np.abs(v2 - v1).max() / scale < 5e-3, \
+        np.abs(v2 - v1).max() / scale
+
+
+def test_pallas_fused_valid_mask():
+    gmap, pyr, coords, kk, jj = make_inputs(jax.random.PRNGKey(5), E=16)
+    valid = jnp.asarray([1, 0] * 8, jnp.float32)
+    out = pallas_corr.patch_corr_pyramid_pallas(gmap, pyr, coords, kk, jj,
+                                                valid=valid, fused=True)
+    out = np.asarray(out).reshape(16, -1)
+    assert np.allclose(out[1], 0)
+    assert np.abs(out[0]).max() > 0
+
+
 def test_pallas_out_of_bounds_windows():
     # coords near/over the image border: padded zeros must reproduce the
     # oracle's out-of-bounds semantics

@@ -83,6 +83,108 @@ def _corr_kernel(meta_ref, origin_ref, g_ref, fmap_ref, out_ref):
             out_ref[e, :, :] = S.astype(jnp.bfloat16)
 
 
+def _corr_fused_kernel(meta_ref, origin_ref, rely_ref, cxi_ref, fxi_ref,
+                       fxf_ref, fyf_ref, g_ref, fmap_ref, out_ref, s3_ref):
+    """Variant 2: correlation matmul + window extraction + bilinear blend
+    fused in one kernel.
+
+    The v1 kernel writes the full [P16, RN] correlation surface to HBM
+    (512 KB/block) and leaves the 8x8-window extraction to 12 masked XLA
+    passes over it; at default-config edge counts that surface is
+    gigabytes of HBM traffic. Here the surface stays in VMEM: the masked
+    static-shift selection (y: 9 shifts on an outer dim, x: 4 coarse + 8
+    fine lane shifts) and the bilinear blend run on registers, and only
+    the blended [8, P16, 8] window block (64 KB -> 8x less out traffic)
+    leaves the kernel. Per-pixel offsets ride in [EB, P16, 1] blocks so
+    pixel sits on the sublane dim and the compare-masks broadcast without
+    relayouts.
+    """
+    b = pl.program_id(0)
+
+    @pl.when(meta_ref[b, 1] == b)
+    def _():
+        for e in range(EB):
+            oy = origin_ref[e, 0]
+            ox = pl.multiple_of(origin_ref[e, 1], 16)
+            region = fmap_ref[0, pl.ds(oy, RSH), pl.ds(ox, RSW), :]
+            S = jax.lax.dot_general(
+                g_ref[e], region.reshape(RN, -1), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [P16, RN]
+            # row-split the surface: S3[y] = S[:, 32y:32y+32]
+            for y in range(RSH):
+                s3_ref[y] = S[:, RSW * y:RSW * (y + 1)].astype(jnp.bfloat16)
+            # per-pixel y-window selection (masks broadcast over sublanes)
+            rely = rely_ref[e]                           # [P16, 1]
+            acc = jnp.zeros((8, P16, RSW), jnp.bfloat16)
+            for s in range(RSH - 8 + 1):
+                m = (rely == s)[None, :, :]
+                acc = acc + jnp.where(m, s3_ref[s:s + 8], 0)
+            # x: coarse 16-wide then fine 8-wide lane shifts (the last
+            # coarse slice reaches lane 40, so pad like the v1 XLA path)
+            accp = jnp.concatenate(
+                [acc, jnp.zeros((8, P16, 8), jnp.bfloat16)], axis=2)
+            cxi = cxi_ref[e]
+            t1 = jnp.zeros((8, P16, 16), jnp.bfloat16)
+            for c in range(RSW // 8):
+                m = (cxi == c)[None, :, :]
+                t1 = t1 + jnp.where(m, accp[:, :, 8 * c:8 * c + 16], 0)
+            fxi = fxi_ref[e]
+            t2 = jnp.zeros((8, P16, 8), jnp.float32)
+            for f in range(8):
+                m = (fxi == f)[None, :, :]
+                t2 = t2 + jnp.where(m, t1[:, :, f:f + 8], 0)
+            # bilinear blend of the 4 integer shifts; the +1 shifts wrap,
+            # leaving garbage in row/col 7 that the caller slices off
+            fx = fxf_ref[e][None, :, :]
+            fy = fyf_ref[e][None, :, :]
+            t2x = jnp.concatenate([t2[:, :, 1:], t2[:, :, :1]], axis=2)
+            t2y = jnp.concatenate([t2[1:], t2[:1]], axis=0)
+            t2xy = jnp.concatenate([t2y[:, :, 1:], t2y[:, :, :1]], axis=2)
+            out = ((1 - fx) * (1 - fy) * t2 + fx * (1 - fy) * t2x
+                   + (1 - fx) * fy * t2y + fx * fy * t2xy)
+            out_ref[e] = out.astype(jnp.bfloat16)
+
+
+def _surfaces_fused(fmap_pad, block_meta, origin, rely, cxi, fxi, fxf, fyf,
+                    g, n_slots):
+    """Run the fused kernel; returns blended windows
+    [n_slots, 8(dy), P16, 8(dx)] bf16 (row/col 7 hold blend wrap garbage).
+    """
+    F, Hp, Wp, C = fmap_pad.shape
+    n_blocks = n_slots // EB
+
+    def slot_spec(dt):
+        return pl.BlockSpec((EB, P16, 1), lambda b, meta: (meta[b, 1], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((EB, 2), lambda b, meta: (meta[b, 1], 0),
+                         memory_space=pltpu.SMEM),
+            slot_spec(jnp.int32), slot_spec(jnp.int32), slot_spec(jnp.int32),
+            slot_spec(jnp.float32), slot_spec(jnp.float32),
+            pl.BlockSpec((EB, P16, C), lambda b, meta: (meta[b, 1], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, Wp, C),
+                         lambda b, meta: (meta[b, 0], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((EB, 8, P16, 8),
+                               lambda b, meta: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((RSH, P16, RSW), jnp.bfloat16)],
+    )
+    return pl.pallas_call(
+        _corr_fused_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_slots, 8, P16, 8), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(15e6)),
+    )(block_meta, origin, rely, cxi, fxi, fxf, fyf, g, fmap_pad)
+
+
 def _surfaces(fmap_pad, block_meta, origin, g, n_slots):
     """Run the kernel over bucketed slots.
 
@@ -181,7 +283,37 @@ def _bucket_by_frame(jj, n_frames, n_slots, valid=None):
     return slot_edge, slot_of_edge, block_meta
 
 
-def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
+def _fused_level(gmap_slots, fmap_pad, origin, coords_e, rel_y, rel_x,
+                 in_region, n_slots, bucketing):
+    """Fused-kernel path: prepare slot-ordered per-pixel offset blocks,
+    run `_surfaces_fused`, and unpack to the v1 layout
+    [n_slots, P2, 7, 7] fp32 (slot order)."""
+    E = coords_e.shape[0]
+    slot_edge, _, block_meta = bucketing
+
+    fy = (coords_e[..., 1] - jnp.floor(coords_e[..., 1])).reshape(E, P2)
+    fx = (coords_e[..., 0] - jnp.floor(coords_e[..., 0])).reshape(E, P2)
+
+    def to_slots(a, fill=0):
+        a_p = jnp.concatenate(
+            [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+        a_s = a_p[slot_edge]                            # [n_slots, P2]
+        pad = jnp.zeros((n_slots, P16 - P2), a.dtype)
+        return jnp.concatenate([a_s, pad], axis=1)[:, :, None]
+
+    win = _surfaces_fused(
+        fmap_pad.astype(jnp.bfloat16), block_meta, origin[slot_edge],
+        to_slots(rel_y), to_slots(rel_x // 8), to_slots(rel_x % 8),
+        to_slots(fx.astype(jnp.float32)), to_slots(fy.astype(jnp.float32)),
+        gmap_slots, n_slots)                  # [n_slots, 8(dy), P16, 8(dx)]
+    out = jnp.transpose(win[:, :7, :P2, :7].astype(jnp.float32),
+                        (0, 2, 1, 3))                  # [n_slots, P2, 7, 7]
+    inreg = to_slots(in_region.astype(jnp.float32))[:, :P2, 0]
+    return out * inreg[:, :, None, None]
+
+
+def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
+                       fused=False):
     """One pyramid level, computed in SLOT order.
 
     gmap_slots: [n_slots, P16, C] patch features already bucketed;
@@ -228,6 +360,10 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
 
     origin = jnp.stack([oy, ox], axis=-1)
     origin = jnp.concatenate([origin, jnp.zeros((1, 2), jnp.int32)], axis=0)
+
+    if fused:
+        return _fused_level(gmap_slots, fmap_pad, origin, coords_e,
+                            rel_y, rel_x, in_region, n_slots, bucketing)
 
     surf = _surfaces(fmap_pad.astype(jnp.bfloat16),
                      block_meta,
@@ -289,11 +425,12 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
 
 
 def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
-                              valid=None, levels=(1, 4)):
+                              valid=None, levels=(1, 4), fused=False):
     """Drop-in replacement for `ops.corr.patch_corr_pyramid` (radius 3).
 
     gmap: [Ek, C, P, P]; pyramid: per-level [F, H_l, W_l, C] channel-last;
     coords: [E, P, P, 2] at level-1 scale; kk/jj: [E] indices.
+    fused=True runs the v2 kernel (in-kernel window extraction + blend).
     Returns [E, L*(2R+1)^2*P*P] with the reference feature layout.
     """
     assert radius == 3, "kernel is specialized for the reference radius 3"
@@ -314,7 +451,8 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
     for fmap, s in zip(pyramid, levels):
         c = coords.astype(jnp.float32) / s
         out = _pallas_corr_level(g_slots, fmap.astype(jnp.bfloat16), c, jj,
-                                 n_slots, bucketing)   # [n_slots,9,7,7]
+                                 n_slots, bucketing,
+                                 fused=fused)          # [n_slots,9,7,7]
         # reference layout: (dx, dy, pi, pj)
         out = jnp.transpose(out.reshape(n_slots, 3, 3, 7, 7),
                             (0, 4, 3, 1, 2))

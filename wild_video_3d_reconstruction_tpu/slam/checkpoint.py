@@ -49,7 +49,6 @@ def save_slam(slam, path):
         "events_dispatched": slam._events_dispatched,
         "events_consumed": slam._events_consumed,
         "lc_req_lo": slam._lc_req_lo,
-        "key": np.asarray(slam.key).tolist(),
     }
     with open(p / "host.json", "w") as f:
         json.dump(host, f)
@@ -85,5 +84,4 @@ def load_slam(slam, path):
     slam._events_dispatched = host["events_dispatched"]
     slam._events_consumed = host["events_consumed"]
     slam._lc_req_lo = host["lc_req_lo"]
-    slam.key = jnp.asarray(np.asarray(host["key"], np.uint32))
     return slam

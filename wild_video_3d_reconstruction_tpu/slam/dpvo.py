@@ -54,8 +54,13 @@ class DPVO:
             self.params = network
         self.params = jax.tree.map(jnp.asarray, self.params)
 
-        self.state: SLAMState = init_state(cfg, ht, wd)
-        self.key = jax.random.PRNGKey(seed)
+        self.state: SLAMState = init_state(cfg, ht, wd, seed=seed)
+
+        # cached device constants: avoid re-uploading the zero depth/mask
+        # placeholders and (usually constant) intrinsics every frame
+        self._zero_dep = jnp.zeros((1, 1), jnp.float32)
+        self._zero_msk = self._zero_dep > 0
+        self._intr_cache = (None, None)     # (bytes, device array)
 
         self.is_initialized = False
         self.counter = 0          # input frames seen
@@ -84,10 +89,10 @@ class DPVO:
         self._insert = {}
         for has_depth in (False, True):
             for has_mask in (False, True):
-                def fn(state, params, image, intr, key, fac, depth, mask,
+                def fn(state, params, image, intr, fac, depth, mask,
                        initialized, _d=has_depth, _m=has_mask):
                     return steps.insert_frame(
-                        cfg, params, state, image, intr, key, fac, None,
+                        cfg, params, state, image, intr, None, fac, None,
                         depth=depth if _d else None,
                         mask=mask if _m else None,
                         initialized=initialized)
@@ -95,16 +100,16 @@ class DPVO:
                 # remote (axon-relayed) TPU worker; the extra state copy is
                 # ~0.3 ms/frame of HBM traffic.
                 self._insert[(has_depth, has_mask)] = jax.jit(
-                    fn, static_argnums=(8,))
+                    fn, static_argnums=(7,))
 
         self._frame = {}
         centers = self._desc_centers
         for has_depth in (False, True):
             for has_mask in (False, True):
-                def ffn(state, params, image, intr, key, fac, depth, mask,
+                def ffn(state, params, image, intr, fac, depth, mask,
                         _d=has_depth, _m=has_mask):
                     return steps.frame_step(
-                        cfg, params, state, image, intr, key, fac,
+                        cfg, params, state, image, intr, fac,
                         depth=depth if _d else None,
                         mask=mask if _m else None,
                         desc_centers=centers)
@@ -173,19 +178,22 @@ class DPVO:
         *_, a, b, c = [1] * 3 + self.tlist
         fac = float(c - b) / max(float(b - a), 1e-6)
 
-        self.key, sub = jax.random.split(self.key)
-        zero_img = np.zeros((1, 1), np.float32)
-        dep = jnp.asarray(depth if depth is not None else zero_img,
-                          dtype=jnp.float32)
-        msk = jnp.asarray(mask if mask is not None else zero_img > 0)
+        dep = (self._zero_dep if depth is None
+               else jnp.asarray(depth, dtype=jnp.float32))
+        msk = self._zero_msk if mask is None else jnp.asarray(mask)
         img = jnp.asarray(image)
-        intr = jnp.asarray(np.asarray(intrinsics), dtype=jnp.float32)
+        intr_np = np.asarray(intrinsics, dtype=np.float32)
+        ib = intr_np.tobytes()
+        if ib != self._intr_cache[0]:
+            self._intr_cache = (ib, jnp.asarray(intr_np))
+        intr = self._intr_cache[1]
         sig = (depth is not None, mask is not None)
 
         if self.is_initialized and not self.sync_mode:
-            # steady state: one dispatch, no host fetches
+            # steady state: one dispatch, no host fetches; the PRNG key
+            # advances inside frame_step (state.rng)
             self.state = self._frame[sig](
-                self.state, self.params, img, intr, sub, jnp.float32(fac),
+                self.state, self.params, img, intr, jnp.float32(fac),
                 dep, msk)
             self.counter += 1
             self._events_dispatched += 1
@@ -198,7 +206,7 @@ class DPVO:
 
         # --- warm-up / synchronous path ---------------------------------
         self.state = self._insert[sig](
-            self.state, self.params, img, intr, sub, jnp.float32(fac),
+            self.state, self.params, img, intr, jnp.float32(fac),
             dep, msk, self.is_initialized)
         self.tstamps[self.n_host] = self.counter
         self.counter += 1

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..models.vonet import DIM, FDIM, P, RES
@@ -69,8 +70,14 @@ class SLAMState(NamedTuple):
     # when loop closure is off.
     desc_log: jnp.ndarray
 
+    # ---- device-resident PRNG key (patch selection / depth init) --------
+    # Advanced inside insert_frame so the steady-state host loop does not
+    # dispatch a jax.random.split per frame (an extra executable launch on
+    # a relay-attached TPU).
+    rng: jnp.ndarray            # [2] uint32
 
-def init_state(cfg, ht, wd, feat_dtype=jnp.bfloat16):
+
+def init_state(cfg, ht, wd, feat_dtype=jnp.bfloat16, seed=0):
     """Allocate the full state for images of size (ht, wd)."""
     N = cfg.BUFFER_SIZE
     M = cfg.PATCHES_PER_FRAME
@@ -106,4 +113,5 @@ def init_state(cfg, ht, wd, feat_dtype=jnp.bfloat16):
             (getattr(cfg, "LOG_CAP", 8192) if cfg.loop_enabled else 1,
              getattr(cfg, "DESC_DIM", 2048) if cfg.loop_enabled else 1),
             jnp.bfloat16),
+        rng=jax.random.PRNGKey(seed),
     )

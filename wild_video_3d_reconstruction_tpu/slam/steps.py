@@ -54,7 +54,9 @@ def insert_frame(cfg, params, state: SLAMState, image, intrinsics, key, fac,
     """Insert the frame at slot n = state.n_frames (not yet accepted).
 
     image: [H, W, 3] uint8; intrinsics: [4] full-res; fac: motion-model
-    timestamp ratio (host scalar); depth: optional [H, W] metric depth;
+    timestamp ratio (host scalar); key: PRNG key, or None to draw from the
+    device-resident state.rng (steady state — saves one host dispatch per
+    frame); depth: optional [H, W] metric depth;
     mask: optional [H, W] bool (True = usable/static); desc_centers:
     optional VLAD centers — when given, the frame's global descriptor is
     computed here and logged at state.log_idx so the async loop-closure
@@ -73,7 +75,11 @@ def insert_frame(cfg, params, state: SLAMState, image, intrinsics, key, fac,
             d.astype(state.desc_log.dtype)))
     h4, w4 = feats.fmap.shape[0], feats.fmap.shape[1]
 
-    k_sel, k_depth = jax.random.split(key)
+    if key is None:
+        rng_next, k_sel, k_depth = jax.random.split(state.rng, 3)
+        state = state._replace(rng=rng_next)
+    else:
+        k_sel, k_depth = jax.random.split(key)
     gmap_bias = vonet.image_gradient_map(image) if cfg.GRADIENT_BIAS else None
     kp_map = (vonet.keypoint_response_map(image)
               if getattr(cfg, "PATCH_SELECTOR", "random") == "keypoints"
@@ -167,7 +173,8 @@ def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n):
             state.gmap, (state.fmap1, state.fmap2),
             coords.astype(jnp.float32),
             jnp.mod(kk, M * pmem), jnp.mod(jj, pmem),
-            radius=3, valid=valid)                          # [E, 882]
+            radius=3, valid=valid,
+            fused=getattr(cfg, "PALLAS_FUSED", False))      # [E, 882]
     else:
         corr = patch_corr_pyramid(
             state.gmap, (state.fmap1, state.fmap2),
@@ -529,9 +536,11 @@ def track_and_keyframe(cfg, params, state: SLAMState):
     return retire_and_compact(cfg, state)
 
 
-def frame_step(cfg, params, state: SLAMState, image, intrinsics, key, fac,
-               depth=None, mask=None, desc_centers=None):
-    """insert + track + keyframe, one dispatch, zero host fetches."""
+def frame_step(cfg, params, state: SLAMState, image, intrinsics, fac,
+               key=None, depth=None, mask=None, desc_centers=None):
+    """insert + track + keyframe, one dispatch, zero host fetches.
+
+    key=None draws from state.rng on device (the steady-state default)."""
     state = insert_frame(cfg, params, state, image, intrinsics, key, fac,
                          None, depth=depth, mask=mask, initialized=True,
                          desc_centers=desc_centers)

@@ -48,6 +48,11 @@ class DPVOConfig:
     CORR_CHUNK: int = 4096
     # use the Pallas TPU correlation kernel when available
     PALLAS_CORR: bool = True
+    # Pallas kernel v2: fuse window extraction + bilinear blend into the
+    # kernel (8x less kernel out-traffic; the XLA extraction passes and
+    # their full correlation surfaces disappear). Off until A/B-timed on
+    # hardware; numerics parity-tested either way (tests/test_pallas_corr).
+    PALLAS_FUSED: bool = False
     # device-side per-frame event log capacity (>= total input frames)
     LOG_CAP: int = 8192
     # async loop closure: global-descriptor dim (VLAD K*C) and how often
