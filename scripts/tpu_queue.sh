@@ -30,6 +30,6 @@ want bench   "$@" && stage bench 1800 bench.py
 want bench384 "$@" && stage bench384 2400 bench.py --config configs/default.yaml --frames 60 --warmup 20
 want fused   "$@" && stage fused 2400 bench.py --fused
 want loop    "$@" && stage loop 1800 bench.py --loop
-want numerics "$@" && stage numerics 1800 -m pytest tests/test_pallas_corr.py -q -x
+want numerics "$@" && stage numerics 1800 scripts/tpu_numerics.py
 want approx  "$@" && stage approx 2400 -m wild_video_3d_reconstruction_tpu.eval.pallas_approx --frames 28 --size 192 256
 echo "=== queue done ==="

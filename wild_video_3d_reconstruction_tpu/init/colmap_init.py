@@ -108,80 +108,10 @@ def _match_pairs(frames, params=None, max_kpts=1024):
     return pairs, feats[0][3]
 
 
-def _fundamental_ransac(p0, p1, iters=300, thresh=1.0, seed=0):
-    """RANSAC normalized 8-point fundamental matrix (pixel coords).
-
-    Returns (F, inlier mask) under Sampson distance `thresh` (pixels)."""
-    N = len(p0)
-    rng = np.random.default_rng(seed)
-    h0 = np.concatenate([p0, np.ones((N, 1))], 1)
-    h1 = np.concatenate([p1, np.ones((N, 1))], 1)
-
-    def norm_T(p):
-        c = p.mean(0)
-        s = np.sqrt(2) / (np.mean(np.linalg.norm(p - c, axis=1)) + 1e-9)
-        return np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
-
-    def fit(idx):
-        T0, T1 = norm_T(p0[idx]), norm_T(p1[idx])
-        a0 = h0[idx] @ T0.T
-        a1 = h1[idx] @ T1.T
-        A = (a1[:, :, None] * a0[:, None, :]).reshape(len(idx), 9)
-        _, _, Vt = np.linalg.svd(A)
-        F = Vt[-1].reshape(3, 3)
-        U, S, Vt = np.linalg.svd(F)
-        F = U @ np.diag([S[0], S[1], 0.0]) @ Vt       # rank-2 projection
-        return T1.T @ F @ T0
-
-    def sampson(F):
-        Fx0 = h0 @ F.T
-        Ftx1 = h1 @ F
-        num = np.sum(h1 * Fx0, 1) ** 2
-        den = Fx0[:, 0] ** 2 + Fx0[:, 1] ** 2 + \
-            Ftx1[:, 0] ** 2 + Ftx1[:, 1] ** 2
-        return num / np.maximum(den, 1e-12)
-
-    best, best_in = None, None
-    for _ in range(iters):
-        idx = rng.choice(N, 8, replace=False)
-        F = fit(idx)
-        inl = sampson(F) < thresh ** 2
-        if best_in is None or inl.sum() > best_in.sum():
-            best, best_in = F, inl
-    if best_in is not None and best_in.sum() >= 8:
-        best = fit(np.where(best_in)[0])
-        best_in = sampson(best) < thresh ** 2
-    return best, best_in
-
-
-def focal_from_fundamental(F, p0, p1):
-    """Bougnoux closed-form focal estimates (f0, f1) from a fundamental
-    matrix and the two principal points (Bougnoux ICCV'98; the same
-    formula COLMAP uses for two-view focal bootstrap). Returns NaN for a
-    degenerate (negative f^2) geometry."""
-    def f2(F, pa, pb):
-        # focal of the *first* camera of F (x1 -> x0 convention below)
-        ea = np.asarray(pa, float)
-        eb = np.asarray(pb, float)
-        p_a = np.array([ea[0], ea[1], 1.0])
-        p_b = np.array([eb[0], eb[1], 1.0])
-        # left epipole e_b: F^T e_b = 0
-        _, _, Vt = np.linalg.svd(F.T)
-        e_b = Vt[-1]
-        ex = np.array([[0, -e_b[2], e_b[1]],
-                       [e_b[2], 0, -e_b[0]],
-                       [-e_b[1], e_b[0], 0]])
-        II = np.diag([1.0, 1.0, 0.0])
-        num = -(p_b @ ex @ II @ F @ p_a) * (p_b @ F @ p_a)
-        den = p_b @ ex @ II @ F @ II @ F.T @ p_b
-        val = num / den if abs(den) > 1e-12 else np.nan
-        return val
-
-    v0 = f2(F, p0, p1)
-    v1 = f2(F.T, p1, p0)
-    f0 = np.sqrt(v0) if np.isfinite(v0) and v0 > 0 else np.nan
-    f1 = np.sqrt(v1) if np.isfinite(v1) and v1 > 0 else np.nan
-    return f0, f1
+# shared 8-point RANSAC + Bougnoux focal live in init.epipolar (also used
+# by the geometric MASt3R-equivalent bootstrap)
+from .epipolar import focal_from_fundamental  # noqa: E402
+from .epipolar import fundamental_ransac as _fundamental_ransac  # noqa: E402
 
 
 def _essential_residual(pairs, f, cx, cy):

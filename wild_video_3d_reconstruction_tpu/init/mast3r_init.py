@@ -27,99 +27,12 @@ import numpy as np
 
 
 # ---------------------------------------------------------------------------
-# two-view geometry (numpy; runs once at startup, not on the hot path)
+# two-view geometry: shared estimators live in init.epipolar (also used by
+# the focal auto-calibration); re-exported here for the bootstrap's API
 # ---------------------------------------------------------------------------
 
-def essential_ransac(x1n, x2n, iters=500, thresh=1e-3, seed=0):
-    """RANSAC normalized 8-point essential matrix.
-
-    x1n/x2n: [N, 2] matched points in *normalized camera* coordinates.
-    Returns (E [3, 3], inlier mask [N]) maximizing Sampson-distance inliers.
-    """
-    N = x1n.shape[0]
-    assert N >= 8, "need at least 8 correspondences"
-    rng = np.random.default_rng(seed)
-    h1 = np.concatenate([x1n, np.ones((N, 1))], 1)
-    h2 = np.concatenate([x2n, np.ones((N, 1))], 1)
-
-    def fit(idx):
-        a1, a2 = h1[idx], h2[idx]
-        # x2^T E x1 = 0 -> A vec(E) = 0
-        A = (a2[:, :, None] * a1[:, None, :]).reshape(len(idx), 9)
-        _, _, Vt = np.linalg.svd(A)
-        E = Vt[-1].reshape(3, 3)
-        # project to the essential manifold: singular values (1, 1, 0)
-        U, _, Vt = np.linalg.svd(E)
-        return U @ np.diag([1.0, 1.0, 0.0]) @ Vt
-
-    def sampson(E):
-        Ex1 = h1 @ E.T                     # [N, 3] rows E x1
-        Etx2 = h2 @ E                      # [N, 3] rows E^T x2
-        num = np.sum(h2 * Ex1, 1) ** 2
-        den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + \
-            Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
-        return num / np.maximum(den, 1e-12)
-
-    best, best_in = None, None
-    for _ in range(iters):
-        idx = rng.choice(N, 8, replace=False)
-        E = fit(idx)
-        inl = sampson(E) < thresh
-        if best_in is None or inl.sum() > best_in.sum():
-            best, best_in = E, inl
-    if best_in.sum() >= 8:                 # refit on all inliers
-        best = fit(np.where(best_in)[0])
-        best_in = sampson(best) < thresh
-    return best, best_in
-
-
-def triangulate_midpoint(R, t, x1n, x2n):
-    """Midpoint triangulation in frame-1 coordinates.
-
-    Camera 1 at origin; camera 2 with x2 = R x1 + t. Rays: d1 = [x1n, 1],
-    d2 = R^T [x2n, 1] from center c2 = -R^T t. Returns [N, 3] points.
-    """
-    N = x1n.shape[0]
-    d1 = np.concatenate([x1n, np.ones((N, 1))], 1)
-    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
-    d2 = np.concatenate([x2n, np.ones((N, 1))], 1) @ R   # rows: R^T d
-    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
-    c2 = -R.T @ t
-    # solve [a -b; -b c] [t1, t2] = [d1.c2, -d2.c2] for closest ray points
-    b = np.sum(d1 * d2, 1)
-    rhs1 = d1 @ c2
-    rhs2 = d2 @ c2
-    den = np.maximum(1.0 - b * b, 1e-12)
-    t1 = (rhs1 - b * rhs2) / den
-    t2 = (b * rhs1 - rhs2) / den
-    p = d1 * t1[:, None]
-    q = c2[None, :] + d2 * t2[:, None]
-    return 0.5 * (p + q)
-
-
-def recover_pose(E, x1n, x2n):
-    """Resolve the four (R, t) decompositions of E by cheirality voting.
-
-    Returns (R, t_unit, pts3d_frame1) for the winning hypothesis, where
-    x2 = R x1 + t and |t| = 1.
-    """
-    U, _, Vt = np.linalg.svd(E)
-    if np.linalg.det(U) < 0:
-        U = -U
-    if np.linalg.det(Vt) < 0:
-        Vt = -Vt
-    W = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
-    cands = [(U @ W @ Vt, U[:, 2]), (U @ W @ Vt, -U[:, 2]),
-             (U @ W.T @ Vt, U[:, 2]), (U @ W.T @ Vt, -U[:, 2])]
-    best = None
-    for R, t in cands:
-        X = triangulate_midpoint(R, t, x1n, x2n)
-        z2 = X @ R.T[:, 2] + t[2]          # depth in camera 2
-        score = int(np.sum((X[:, 2] > 0) & (z2 > 0)))
-        if best is None or score > best[0]:
-            best = (score, R, t, X)
-    _, R, t, X = best
-    return R, t, X
+from .epipolar import (essential_ransac, recover_pose,  # noqa: F401,E402
+                       triangulate_midpoint)
 
 
 # ---------------------------------------------------------------------------
@@ -181,14 +94,16 @@ def track_grid(images, stride=8, fb_thresh=1.0):
 
 
 def geometric_initialization(images, intrinsics, stride=8, ransac_iters=500,
-                             seed=0, tracks=None):
+                             seed=0, tracks=None, image_size=None):
     """Classical first-frame-anchored bootstrap over the given frames.
 
-    images: [K][H, W, 3] uint8 (or None when `tracks` is supplied);
+    images: [K][H, W, 3] uint8, or None when both `tracks` and
+    `image_size` are supplied;
     intrinsics: [4] (fx, fy, cx, cy) full resolution;
     tracks: optional precomputed (grid_xy, tracks, ok) from `track_grid`
     (lets callers plug their own matcher, and tests feed exact synthetic
-    correspondences).
+    correspondences); image_size: (H, W) of the depth maps to produce
+    (defaults to images[0].shape).
 
     Returns (depths [K, H, W] float32, poses_c2w [K, 4, 4] float32) with
     frame 0 = identity and the global scale anchored so the (0, 1) pair's
@@ -198,9 +113,11 @@ def geometric_initialization(images, intrinsics, stride=8, ransac_iters=500,
     fx, fy, cx, cy = [float(v) for v in np.asarray(intrinsics).reshape(-1)[:4]]
     if tracks is None:
         grid, tr, ok = track_grid(images, stride=stride)
-        H, W = images[0].shape[:2]
     else:
         grid, tr, ok = tracks
+    if image_size is not None:
+        H, W = image_size
+    else:
         H, W = images[0].shape[:2]
     K = tr.shape[0]
 
@@ -293,26 +210,47 @@ def geometric_initialization(images, intrinsics, stride=8, ransac_iters=500,
 
 def mast3r_initialization(images, intrinsics, **kw):
     """Reference protocol when mast3r/dust3r are installed; otherwise the
-    geometric fallback (this image has zero egress and no mast3r)."""
+    geometric fallback (this image has zero egress and no mast3r).
+    mast3r-only kwargs (checkpoint, device) are stripped before falling
+    back; the rest pass through to `geometric_initialization`."""
+    geo_kw = {k: v for k, v in kw.items()
+              if k not in ("checkpoint", "device")}
     try:
-        import dust3r  # noqa: F401
-        import mast3r  # noqa: F401
-    except Exception:
-        return geometric_initialization(images, intrinsics, **kw)
-    # External-model path: first-frame anchored global alignment
-    # (`dpvo_mast3r_init.py:45-73`). Exercised only where mast3r exists.
+        return _mast3r_external(images, intrinsics, **kw)
+    except Exception as e:
+        if not isinstance(e, ImportError):
+            print(f"mast3r path failed ({type(e).__name__}: {e}); "
+                  "using the geometric bootstrap")
+        return geometric_initialization(images, intrinsics, **geo_kw)
+
+
+def _mast3r_external(images, intrinsics, checkpoint=None, device="cpu",
+                     **_):
+    """External-model path: first-frame anchored global alignment
+    (`dpvo_mast3r_init.py:45-73`). Only importable where dust3r/mast3r
+    exist; the public dust3r API has moved between releases, so every
+    import stays inside this function and any failure falls back to the
+    geometric path in the caller."""
+    import dust3r  # noqa: F401
+    import mast3r  # noqa: F401
+    import torch
     from dust3r.cloud_opt import GlobalAlignerMode, global_aligner
     from dust3r.image_pairs import make_pairs
-    from dust3r.inference import inference, load_model
-    from dust3r.utils.image import format_images
-    import torch
+    from dust3r.inference import inference
+    try:                                  # API moved across releases
+        from dust3r.inference import load_model
+    except ImportError:
+        from dust3r.model import AsymmetricCroCo3DStereo
 
-    model = load_model(kw.get("checkpoint"), device=kw.get("device", "cpu"))
-    imgs = format_images(list(images))
+        def load_model(ckpt, device):
+            return AsymmetricCroCo3DStereo.from_pretrained(ckpt).to(device)
+
+    model = load_model(checkpoint, device)
+    imgs = _format_mast3r_images(images, device)
     pairs = make_pairs(imgs, scene_graph="complete", prefilter=None,
                        symmetrize=False)
-    res = inference(pairs, model, kw.get("device", "cpu"), batch_size=1)
-    scene = global_aligner(res, device=kw.get("device", "cpu"),
+    res = inference(pairs, model, device, batch_size=1)
+    scene = global_aligner(res, device=device,
                            mode=GlobalAlignerMode.ModularPointCloudOptimizer)
     with torch.enable_grad():
         scene.compute_global_alignment(init="mst", niter=250,
@@ -322,6 +260,19 @@ def mast3r_initialization(images, intrinsics, **kw):
     poses = np.stack([np.asarray(p.detach().cpu())
                       for p in scene.get_im_poses()])
     return depths.astype(np.float32), poses.astype(np.float32)
+
+
+def _format_mast3r_images(images, device):
+    """numpy uint8 frames -> the dict format dust3r's loaders produce."""
+    import torch
+
+    out = []
+    for i, im in enumerate(images):
+        t = torch.from_numpy(np.ascontiguousarray(im[..., ::-1])).float()
+        t = (t / 127.5 - 1.0).permute(2, 0, 1)[None].to(device)
+        out.append(dict(img=t, true_shape=np.int32([im.shape[:2]]),
+                        idx=i, instance=str(i)))
+    return out
 
 
 def bootstrap_slam(slam, images, intrinsics, **kw):

@@ -153,7 +153,7 @@ def _surfaces_fused(fmap_pad, block_meta, origin, rely, cxi, fxi, fxf, fyf,
     F, Hp, Wp, C = fmap_pad.shape
     n_blocks = n_slots // EB
 
-    def slot_spec(dt):
+    def slot_spec():
         return pl.BlockSpec((EB, P16, 1), lambda b, meta: (meta[b, 1], 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -163,8 +163,8 @@ def _surfaces_fused(fmap_pad, block_meta, origin, rely, cxi, fxi, fxf, fyf,
         in_specs=[
             pl.BlockSpec((EB, 2), lambda b, meta: (meta[b, 1], 0),
                          memory_space=pltpu.SMEM),
-            slot_spec(jnp.int32), slot_spec(jnp.int32), slot_spec(jnp.int32),
-            slot_spec(jnp.float32), slot_spec(jnp.float32),
+            slot_spec(), slot_spec(), slot_spec(),
+            slot_spec(), slot_spec(),
             pl.BlockSpec((EB, P16, C), lambda b, meta: (meta[b, 1], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hp, Wp, C),

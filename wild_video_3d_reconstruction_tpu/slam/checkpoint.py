@@ -62,15 +62,21 @@ def load_slam(slam, path):
     with open(p / "dtypes.json") as f:
         dtypes = json.load(f)
 
+    with open(p / "host.json") as f:
+        host = json.load(f)
+
     def restore(f):
+        if f == "rng" and f not in data:
+            # pre-rng-in-state checkpoint: migrate the old host-side key
+            # (or reseed deterministically) so old runs stay resumable
+            key = host.get("key", [0, 0])
+            return jnp.asarray(np.asarray(key, np.uint32))
         a = data[f]
         if dtypes[f] == "bfloat16":
             return jnp.asarray(a).view(jnp.bfloat16)
         return jnp.asarray(a)
 
     slam.state = SLAMState(**{f: restore(f) for f in SLAMState._fields})
-    with open(p / "host.json") as f:
-        host = json.load(f)
     slam.counter = host["counter"]
     slam.n_host = host["n_host"]
     slam.is_initialized = host["is_initialized"]
