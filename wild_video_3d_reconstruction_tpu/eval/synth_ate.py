@@ -1,0 +1,88 @@
+"""Full-SLAM trajectory accuracy on a rendered synthetic sequence.
+
+Runs the actual tracker (`slam.DPVO`, the same code path as the demo CLI)
+on a `train/synth.py` rendered sequence with known ground-truth poses and
+reports Sim3-aligned ATE RMSE — the evaluation protocol of
+`evaluation/dpvo_eva_tum.py:144-197` with a rendered scene standing in
+for TUM (the zero-egress image has no datasets). Use --params to evaluate
+weights trained by `eval.learn_synth`; default compares against random
+initialization.
+
+Run: python -u -m wild_video_3d_reconstruction_tpu.eval.synth_ate \
+         [--params /tmp/synth_params/step_300] [--frames 60]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def run(params=None, frames=60, ht=48, wd=64, seed=0, probe_stub=True):
+    import jax
+    import jax.numpy as jnp
+
+    from ..slam import DPVO
+    from ..train.synth import render_sequence
+    from ..utils.config import DPVOConfig
+    from . import metrics
+
+    images, poses_gt_w2c, intr = render_sequence(seed, frames=frames,
+                                                 ht=ht, wd=wd)
+    cfg = DPVOConfig(
+        BUFFER_SIZE=max(frames + 8, 64), PATCHES_PER_FRAME=8,
+        REMOVAL_WINDOW=8, OPTIMIZATION_WINDOW=6, PATCH_LIFETIME=5,
+        KEYFRAME_INDEX=2, MEM=16, GRADIENT_BIAS=False, PALLAS_CORR=False,
+        CORR_CHUNK=1024)
+    slam = DPVO(cfg, params, ht, wd, seed=0)
+    if probe_stub:
+        slam._probe = lambda *a: 100.0
+
+    for t in range(frames):
+        slam(t, images[t], intrinsics=np.asarray(intr, np.float64))
+    est, tstamps = slam.terminate()
+
+    from ..ops import lie
+    gt_c2w = np.asarray(lie.se3_inv(jnp.asarray(poses_gt_w2c)))
+    ate, n = metrics.ate_rmse(est, tstamps, gt_c2w,
+                              np.arange(frames, dtype=np.float64))
+    return {"ate_rmse": float(ate), "n_aligned": int(n),
+            "n_keyframes": int(slam.n_host)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--params", type=str, default=None,
+                    help="orbax checkpoint dir from eval.learn_synth")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--trials", type=int, default=1)
+    args = ap.parse_args()
+
+    params = None
+    if args.params:
+        import jax
+
+        from ..models.vonet import init_vonet
+        from ..train.trainer import load_checkpoint
+
+        params = load_checkpoint(args.params,
+                                 init_vonet(jax.random.PRNGKey(0)))
+
+    results = [run(params=params, frames=args.frames, seed=args.seed + i)
+               for i in range(args.trials)]
+    out = {
+        "metric": "synth_ate",
+        "params": args.params or "random",
+        "ate_rmse_median": float(np.median([r["ate_rmse"]
+                                            for r in results])),
+        "trials": results,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Synthetic photometrically-consistent training clips (no dataset needed).
+
+The zero-egress build image has no TartanAir; `make_synthetic_batch`
+(random noise frames) exercises shapes but cannot teach tracking. This
+renders geometrically consistent clips: a slanted textured plane observed
+by a smoothly moving camera. For a plane, every view is an exact
+homography of the canonical texture — analytic inverse warp (no holes)
+and analytic per-pixel depth, so images, ground-truth poses and
+disparities agree to machine precision.
+
+Counterpart of the reference's TartanAir reader contract
+(`dpvo/data_readers/tartan.py:53`, `base.py:98-139` flow-graph clips):
+the output dict plugs straight into `parallel.train_step.clip_loss_fn`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _texture(rng, h, w, octaves=4):
+    """Smooth multi-octave noise texture in [0, 255], [h, w, 3]."""
+    img = np.zeros((h, w, 3))
+    for o in range(octaves):
+        s = 2 ** o
+        small = rng.normal(size=(max(2, h // (4 * s)), max(2, w // (4 * s)),
+                                 3))
+        ys = np.linspace(0, small.shape[0] - 1, h)
+        xs = np.linspace(0, small.shape[1] - 1, w)
+        y0 = np.clip(ys.astype(int), 0, small.shape[0] - 2)
+        x0 = np.clip(xs.astype(int), 0, small.shape[1] - 2)
+        fy = (ys - y0)[:, None, None]
+        fx = (xs - x0)[None, :, None]
+        a = small[y0][:, x0]
+        b = small[y0][:, x0 + 1]
+        c = small[y0 + 1][:, x0]
+        d = small[y0 + 1][:, x0 + 1]
+        layer = (1 - fy) * ((1 - fx) * a + fx * b) + \
+            fy * ((1 - fx) * c + fx * d)
+        img += layer / s
+    img -= img.min()
+    img /= img.max() + 1e-9
+    return (img * 255).astype(np.uint8)
+
+
+def _so3_exp(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+
+
+def _quat_from_R(R):
+    """[x, y, z, w] quaternion (the layout of ops.lie poses)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([(R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                         (R[1, 0] - R[0, 1]) / s, 0.25 * s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(1.0 + R[i, i] - R[j, j] - R[k, k]) * 2
+    q = np.zeros(4)
+    q[i] = 0.25 * s
+    q[j] = (R[j, i] + R[i, j]) / s
+    q[k] = (R[k, i] + R[i, k]) / s
+    q[3] = (R[k, j] - R[j, k]) / s
+    return q if q[3] >= 0 else -q
+
+
+class _PlaneWorld:
+    """A slanted textured plane in the frame-0 camera's coordinates."""
+
+    def __init__(self, rng, ht, wd, fx, fy, tex_scale=3):
+        self.ht, self.wd, self.fx, self.fy = ht, wd, fx, fy
+        self.cx, self.cy = wd / 2.0, ht / 2.0
+        # slanted plane through depth ~2.5 in front of camera 0
+        n = np.array([rng.uniform(-0.25, 0.25), rng.uniform(-0.25, 0.25),
+                      1.0])
+        self.n = n / np.linalg.norm(n)
+        self.dist = rng.uniform(2.0, 3.0)
+        # texture indexed by frame-0 pixel coordinates, padded
+        # (tex_scale-1)/2 frame sizes on each side
+        self.TS = tex_scale
+        self.tex = _texture(rng, self.TS * ht, self.TS * wd)
+        self.off_u = (self.TS - 1) // 2 * wd
+        self.off_v = (self.TS - 1) // 2 * ht
+
+        vv, uu = np.mgrid[0:ht, 0:wd].astype(np.float64)
+        self.rays = np.stack([(uu - self.cx) / fx, (vv - self.cy) / fy,
+                              np.ones_like(uu)], -1)
+        v4, u4 = np.mgrid[0:ht // 4, 0:wd // 4].astype(np.float64)
+        self.rays4 = np.stack([((u4 * 4 + 2) - self.cx) / fx,
+                               ((v4 * 4 + 2) - self.cy) / fy,
+                               np.ones_like(u4)], -1)
+
+    def intrinsics(self):
+        return np.array([self.fx, self.fy, self.cx, self.cy], np.float32)
+
+    def _surface(self, Rk, tk, rays):
+        """Intersect pixel rays of camera (Rk, tk) with the plane; world
+        points + camera-k depth."""
+        c = -Rk.T @ tk
+        d = rays @ Rk
+        s = (self.dist - c @ self.n) / np.maximum(d @ self.n, 1e-9)
+        X = c[None, None] + s[..., None] * d
+        zk = (X @ Rk.T + tk)[..., 2]
+        return X, zk
+
+    def render(self, Rk, tk):
+        """(image [H,W,3] u8, disp4 [H/4,W/4]) for w2c camera (Rk, tk)."""
+        X, _ = self._surface(Rk, tk, self.rays)
+        u0 = X[..., 0] / X[..., 2] * self.fx + self.cx
+        v0 = X[..., 1] / X[..., 2] * self.fy + self.cy
+        tu = np.clip(u0 + self.off_u, 0, self.TS * self.wd - 2)
+        tv = np.clip(v0 + self.off_v, 0, self.TS * self.ht - 2)
+        x0i = tu.astype(int)
+        y0i = tv.astype(int)
+        fu = (tu - x0i)[..., None]
+        fv = (tv - y0i)[..., None]
+        tex = self.tex
+        img = ((1 - fu) * (1 - fv) * tex[y0i, x0i]
+               + fu * (1 - fv) * tex[y0i, x0i + 1]
+               + (1 - fu) * fv * tex[y0i + 1, x0i]
+               + fu * fv * tex[y0i + 1, x0i + 1])
+        _, z4 = self._surface(Rk, tk, self.rays4)
+        disp4 = (1.0 / np.maximum(z4, 1e-6)).astype(np.float32)
+        return np.clip(img, 0, 255).astype(np.uint8), disp4
+
+
+def _pose7(Rk, tk):
+    q = _quat_from_R(Rk)
+    out = np.zeros(7, np.float32)
+    out[:3] = tk
+    out[3:] = q
+    return out
+
+
+def render_clip(rng, frames=6, ht=48, wd=64, fx=40.0, fy=40.0):
+    """One clip: (images [T,H,W,3] u8, poses_w2c [T,7], disps4 [T,H/4,W/4],
+    intrinsics [4]). Smooth random-walk camera over a slanted plane."""
+    world = _PlaneWorld(rng, ht, wd, fx, fy)
+    Rk = np.eye(3)
+    tk = np.zeros(3)
+    images = np.zeros((frames, ht, wd, 3), np.uint8)
+    poses = np.zeros((frames, 7), np.float32)
+    disps = np.zeros((frames, ht // 4, wd // 4), np.float32)
+    for k in range(frames):
+        images[k], disps[k] = world.render(Rk, tk)
+        poses[k] = _pose7(Rk, tk)
+        dR = _so3_exp(rng.normal(0, 0.02, 3))
+        dt = rng.normal(0, 0.04, 3) + np.array([0.1, 0.0, 0.02])
+        Rk = dR @ Rk
+        tk = dR @ tk + dt
+    return images, poses, disps, world.intrinsics()
+
+
+def render_sequence(seed, frames=60, ht=48, wd=64, fx=40.0, fy=40.0,
+                    amp=0.45):
+    """A long bounded trajectory for SLAM evaluation: sinusoidal sweep
+    (orbit-like) so the camera never leaves the textured region. Returns
+    (images [T,H,W,3] u8, poses_w2c [T,7], intrinsics [4])."""
+    rng = np.random.default_rng(seed)
+    world = _PlaneWorld(rng, ht, wd, fx, fy, tex_scale=5)
+    images = np.zeros((frames, ht, wd, 3), np.uint8)
+    poses = np.zeros((frames, 7), np.float32)
+    for k in range(frames):
+        ph = 2 * np.pi * k / frames
+        tk = np.array([amp * np.sin(2 * ph), 0.6 * amp * np.sin(ph),
+                       0.25 * amp * np.sin(3 * ph)])
+        w = np.array([0.04 * np.sin(ph + 1.0), 0.05 * np.sin(2 * ph),
+                      0.03 * np.sin(ph)])
+        Rk = _so3_exp(w)
+        images[k], _ = world.render(Rk, tk)
+        poses[k] = _pose7(Rk, tk)
+    return images, poses, world.intrinsics()
+
+
+def make_world_batch(seed, batch_size, tc, ht=48, wd=64):
+    """Batch of rendered clips in the `clip_loss_fn` layout."""
+    rng = np.random.default_rng(seed)
+    ims, ps, ds, it = [], [], [], []
+    for _ in range(batch_size):
+        a, b, c, d = render_clip(rng, frames=tc.frames, ht=ht, wd=wd)
+        ims.append(a)
+        ps.append(b)
+        ds.append(c)
+        it.append(d)
+    return {"images": np.stack(ims), "poses": np.stack(ps),
+            "disps": np.stack(ds), "intrinsics": np.stack(it)}
