@@ -41,6 +41,26 @@ def main():
                     help="A/B: v2 Pallas kernel (in-kernel extraction)")
     args = ap.parse_args()
 
+    # A dead relay tunnel makes jax.devices() hang forever (observed:
+    # multi-hour axon outages). Probe in a subprocess first so the driver
+    # gets a parseable failure line instead of a timeout.
+    import os
+    import subprocess
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=420, capture_output=True)
+            ok = p.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print(json.dumps({
+                "metric": "vo_fps_512x384_fast48", "value": 0.0,
+                "unit": "fps", "vs_baseline": 0.0,
+                "error": "TPU backend unreachable (relay tunnel down)"}))
+            return 0
+
     import jax
     import jax.numpy as jnp
 

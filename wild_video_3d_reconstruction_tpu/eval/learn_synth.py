@@ -67,7 +67,7 @@ def evaluate(params, batches, tc):
 
 
 def main(steps=200, batch=4, eval_clips=8, lr=3e-4, seed=0, frames=6,
-         patches=8, ht=48, wd=64, log_every=20, save=None):
+         patches=8, ht=48, wd=64, log_every=20, save=None, resume=None):
     import jax
 
     from ..models.vonet import init_vonet
@@ -78,6 +78,10 @@ def main(steps=200, batch=4, eval_clips=8, lr=3e-4, seed=0, frames=6,
     tc = TrainConfig(frames=frames, patches=patches, steps=3)
     mesh = make_mesh(1)
     params0 = init_vonet(jax.random.PRNGKey(seed))
+    if resume:
+        from ..train.trainer import load_checkpoint
+        params0 = load_checkpoint(resume, params0)
+        print("resumed params from", resume, flush=True)
 
     held_out = [make_world_batch(10_000 + i, 1, tc, ht=ht, wd=wd)
                 for i in range(eval_clips)]
@@ -121,6 +125,8 @@ if __name__ == "__main__":
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--save", type=str, default=None,
                     help="directory to save the trained params")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="orbax checkpoint dir to continue from")
     args = ap.parse_args()
     main(steps=args.steps, batch=args.batch, eval_clips=args.eval_clips,
-         lr=args.lr, save=args.save)
+         lr=args.lr, save=args.save, resume=args.resume)

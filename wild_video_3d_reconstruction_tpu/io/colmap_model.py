@@ -203,8 +203,7 @@ def read_binary(path):
                     break
                 name += ch
             (npts,) = struct.unpack("<Q", f.read(8))
-            data = struct.unpack(f"<{npts * 3}d" if False else
-                                 "<" + "ddq" * npts, f.read(24 * npts))
+            data = struct.unpack("<" + "ddq" * npts, f.read(24 * npts))
             xys = np.array(data).reshape(-1, 3)[:, :2] if npts else \
                 np.zeros((0, 2))
             pids = np.array(data[2::3], np.int64) if npts else \
