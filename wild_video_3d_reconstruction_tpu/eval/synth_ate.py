@@ -20,7 +20,8 @@ import json
 import numpy as np
 
 
-def run(params=None, frames=60, ht=48, wd=64, seed=0, probe_stub=True):
+def run(params=None, frames=60, ht=48, wd=64, seed=0, probe_stub=True,
+        path="walk"):
     import jax
     import jax.numpy as jnp
 
@@ -30,12 +31,12 @@ def run(params=None, frames=60, ht=48, wd=64, seed=0, probe_stub=True):
     from . import metrics
 
     images, poses_gt_w2c, intr = render_sequence(seed, frames=frames,
-                                                 ht=ht, wd=wd)
+                                                 ht=ht, wd=wd, path=path)
     cfg = DPVOConfig(
-        BUFFER_SIZE=max(frames + 8, 64), PATCHES_PER_FRAME=8,
+        BUFFER_SIZE=max(frames + 8, 64), PATCHES_PER_FRAME=16,
         REMOVAL_WINDOW=8, OPTIMIZATION_WINDOW=6, PATCH_LIFETIME=5,
         KEYFRAME_INDEX=2, MEM=16, GRADIENT_BIAS=False, PALLAS_CORR=False,
-        CORR_CHUNK=1024)
+        CORR_CHUNK=1024, DEPTH_INIT="median")
     slam = DPVO(cfg, params, ht, wd, seed=0)
     if probe_stub:
         slam._probe = lambda *a: 100.0
@@ -48,8 +49,12 @@ def run(params=None, frames=60, ht=48, wd=64, seed=0, probe_stub=True):
     gt_c2w = np.asarray(lie.se3_inv(jnp.asarray(poses_gt_w2c)))
     ate, n = metrics.ate_rmse(est, tstamps, gt_c2w,
                               np.arange(frames, dtype=np.float64))
-    return {"ate_rmse": float(ate), "n_aligned": int(n),
-            "n_keyframes": int(slam.n_host)}
+    ident = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (frames, 1))
+    floor, _ = metrics.ate_rmse(ident, np.arange(frames, dtype=np.float64),
+                                gt_c2w, np.arange(frames,
+                                                  dtype=np.float64))
+    return {"ate_rmse": float(ate), "ate_floor_identity": float(floor),
+            "n_aligned": int(n), "n_keyframes": int(slam.n_host)}
 
 
 def main():
@@ -59,6 +64,7 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--trials", type=int, default=1)
+    ap.add_argument("--path", choices=["walk", "orbit"], default="walk")
     args = ap.parse_args()
 
     params = None
@@ -71,10 +77,12 @@ def main():
         params = load_checkpoint(args.params,
                                  init_vonet(jax.random.PRNGKey(0)))
 
-    results = [run(params=params, frames=args.frames, seed=args.seed + i)
+    results = [run(params=params, frames=args.frames, seed=args.seed + i,
+                   path=args.path)
                for i in range(args.trials)]
     out = {
         "metric": "synth_ate",
+        "path": args.path,
         "params": args.params or "random",
         "ate_rmse_median": float(np.median([r["ate_rmse"]
                                             for r in results])),

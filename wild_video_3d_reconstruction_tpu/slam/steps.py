@@ -90,8 +90,15 @@ def insert_frame(cfg, params, state: SLAMState, image, intrinsics, key, fac,
     imap_p, gmap_p, clr, patches = vonet.gather_patches(feats, image, coords)
 
     # ---- patch inverse-depth initialization ------------------------------
-    # default: per-patch uniform random (`dpvo/dpvo.py:818`)
+    # default: per-patch uniform random (`dpvo/dpvo.py:818`); "median"
+    # follows upstream DPVO's steady-state policy (new patches start at
+    # the median inverse depth of the last 3 frames) — much less depth
+    # noise per frame, which matters at small PATCHES_PER_FRAME
     d0 = jax.random.uniform(k_depth, (M,))
+    if initialized and getattr(cfg, "DEPTH_INIT", "random") == "median":
+        lo = jnp.maximum(n - 3, 0) * M
+        win = jax.lax.dynamic_slice_in_dim(state.patches, lo, 3 * M, 0)
+        d0 = jnp.broadcast_to(jnp.median(win[:, 2]), (M,))
     patches = patches.at[:, 2].set(
         jnp.broadcast_to(d0[:, None, None], (M, P, P)))
     patches_est_row = jnp.zeros_like(patches)

@@ -71,22 +71,28 @@ def _quat_from_R(R):
 
 
 class _PlaneWorld:
-    """A slanted textured plane in the frame-0 camera's coordinates."""
+    """A piecewise-planar textured world in the frame-0 camera's
+    coordinates: per pixel ray the nearest positive intersection over
+    `n_planes` infinite slanted planes wins (correct visibility, zero
+    holes, exact analytic depth). A single plane is a classically
+    ambiguous geometry for monocular BA (the plane-induced homography
+    family lets scale/z slide), so SLAM evaluation uses >= 2 planes."""
 
-    def __init__(self, rng, ht, wd, fx, fy, tex_scale=3):
+    def __init__(self, rng, ht, wd, fx, fy, tex_scale=3, n_planes=1):
         self.ht, self.wd, self.fx, self.fy = ht, wd, fx, fy
         self.cx, self.cy = wd / 2.0, ht / 2.0
-        # slanted plane through depth ~2.5 in front of camera 0
-        n = np.array([rng.uniform(-0.25, 0.25), rng.uniform(-0.25, 0.25),
-                      1.0])
-        self.n = n / np.linalg.norm(n)
-        self.dist = rng.uniform(2.0, 3.0)
-        # texture indexed by frame-0 pixel coordinates, padded
-        # (tex_scale-1)/2 frame sizes on each side
+        self.planes = []          # (n, dist, texture)
         self.TS = tex_scale
-        self.tex = _texture(rng, self.TS * ht, self.TS * wd)
-        self.off_u = (self.TS - 1) // 2 * wd
-        self.off_v = (self.TS - 1) // 2 * ht
+        self.off_u = (tex_scale - 1) // 2 * wd
+        self.off_v = (tex_scale - 1) // 2 * ht
+        for i in range(n_planes):
+            n = np.array([rng.uniform(-0.35, 0.35),
+                          rng.uniform(-0.35, 0.35), 1.0])
+            n /= np.linalg.norm(n)
+            dist = rng.uniform(2.0, 3.0) + 1.5 * i
+            self.planes.append((n, dist,
+                                _texture(rng, tex_scale * ht,
+                                         tex_scale * wd)))
 
         vv, uu = np.mgrid[0:ht, 0:wd].astype(np.float64)
         self.rays = np.stack([(uu - self.cx) / fx, (vv - self.cy) / fy,
@@ -100,18 +106,31 @@ class _PlaneWorld:
         return np.array([self.fx, self.fy, self.cx, self.cy], np.float32)
 
     def _surface(self, Rk, tk, rays):
-        """Intersect pixel rays of camera (Rk, tk) with the plane; world
-        points + camera-k depth."""
+        """Nearest-plane intersection of pixel rays of camera (Rk, tk):
+        (world points, camera-k depth, winning plane index)."""
         c = -Rk.T @ tk
         d = rays @ Rk
-        s = (self.dist - c @ self.n) / np.maximum(d @ self.n, 1e-9)
-        X = c[None, None] + s[..., None] * d
+        best_s = None
+        best_i = None
+        for i, (n, dist, _) in enumerate(self.planes):
+            denom = d @ n
+            s = np.where(denom > 1e-9, (dist - c @ n) /
+                         np.where(np.abs(denom) > 1e-9, denom, 1e-9),
+                         np.inf)
+            s = np.where(s > 0, s, np.inf)
+            if best_s is None:
+                best_s, best_i = s, np.full(s.shape, i)
+            else:
+                best_i = np.where(s < best_s, i, best_i)
+                best_s = np.minimum(s, best_s)
+        best_s = np.where(np.isfinite(best_s), best_s, 1e6)
+        X = c[None, None] + best_s[..., None] * d
         zk = (X @ Rk.T + tk)[..., 2]
-        return X, zk
+        return X, zk, best_i
 
     def render(self, Rk, tk):
         """(image [H,W,3] u8, disp4 [H/4,W/4]) for w2c camera (Rk, tk)."""
-        X, _ = self._surface(Rk, tk, self.rays)
+        X, _, pid = self._surface(Rk, tk, self.rays)
         u0 = X[..., 0] / X[..., 2] * self.fx + self.cx
         v0 = X[..., 1] / X[..., 2] * self.fy + self.cy
         tu = np.clip(u0 + self.off_u, 0, self.TS * self.wd - 2)
@@ -120,12 +139,14 @@ class _PlaneWorld:
         y0i = tv.astype(int)
         fu = (tu - x0i)[..., None]
         fv = (tv - y0i)[..., None]
-        tex = self.tex
-        img = ((1 - fu) * (1 - fv) * tex[y0i, x0i]
-               + fu * (1 - fv) * tex[y0i, x0i + 1]
-               + (1 - fu) * fv * tex[y0i + 1, x0i]
-               + fu * fv * tex[y0i + 1, x0i + 1])
-        _, z4 = self._surface(Rk, tk, self.rays4)
+        img = np.zeros((self.ht, self.wd, 3))
+        for i, (_, _, tex) in enumerate(self.planes):
+            li = ((1 - fu) * (1 - fv) * tex[y0i, x0i]
+                  + fu * (1 - fv) * tex[y0i, x0i + 1]
+                  + (1 - fu) * fv * tex[y0i + 1, x0i]
+                  + fu * fv * tex[y0i + 1, x0i + 1])
+            img = np.where((pid == i)[..., None], li, img)
+        _, z4, _ = self._surface(Rk, tk, self.rays4)
         disp4 = (1.0 / np.maximum(z4, 1e-6)).astype(np.float32)
         return np.clip(img, 0, 255).astype(np.uint8), disp4
 
@@ -138,12 +159,18 @@ def _pose7(Rk, tk):
     return out
 
 
-def render_clip(rng, frames=6, ht=48, wd=64, fx=40.0, fy=40.0):
+def render_clip(rng, frames=6, ht=48, wd=64, fx=40.0, fy=40.0,
+                n_planes=1):
     """One clip: (images [T,H,W,3] u8, poses_w2c [T,7], disps4 [T,H/4,W/4],
-    intrinsics [4]). Smooth random-walk camera over a slanted plane."""
-    world = _PlaneWorld(rng, ht, wd, fx, fy)
+    intrinsics [4]). Smooth random-walk camera over slanted plane(s); the
+    constant-velocity component is drawn per clip (random direction and
+    magnitude) so the learned update operator sees diverse motion stats
+    instead of a fixed drift it could absorb as a prior."""
+    world = _PlaneWorld(rng, ht, wd, fx, fy, n_planes=n_planes)
     Rk = np.eye(3)
     tk = np.zeros(3)
+    vel = rng.normal(size=3)
+    vel *= rng.uniform(0.03, 0.12) / np.linalg.norm(vel)
     images = np.zeros((frames, ht, wd, 3), np.uint8)
     poses = np.zeros((frames, 7), np.float32)
     disps = np.zeros((frames, ht // 4, wd // 4), np.float32)
@@ -151,30 +178,49 @@ def render_clip(rng, frames=6, ht=48, wd=64, fx=40.0, fy=40.0):
         images[k], disps[k] = world.render(Rk, tk)
         poses[k] = _pose7(Rk, tk)
         dR = _so3_exp(rng.normal(0, 0.02, 3))
-        dt = rng.normal(0, 0.04, 3) + np.array([0.1, 0.0, 0.02])
+        dt = rng.normal(0, 0.04, 3) + vel
         Rk = dR @ Rk
         tk = dR @ tk + dt
     return images, poses, disps, world.intrinsics()
 
 
 def render_sequence(seed, frames=60, ht=48, wd=64, fx=40.0, fy=40.0,
-                    amp=0.45):
-    """A long bounded trajectory for SLAM evaluation: sinusoidal sweep
-    (orbit-like) so the camera never leaves the textured region. Returns
-    (images [T,H,W,3] u8, poses_w2c [T,7], intrinsics [4])."""
+                    amp=0.45, n_planes=3, path="walk"):
+    """A long trajectory + multi-plane world for SLAM evaluation. Returns
+    (images [T,H,W,3] u8, poses_w2c [T,7], intrinsics [4]).
+
+    path="walk": held-out random walk from the training distribution
+    (unseen seeds/scene); path="orbit": bounded sinusoidal sweep — a
+    motion pattern the training clips never contain, probing
+    generalization of the learned update operator."""
     rng = np.random.default_rng(seed)
-    world = _PlaneWorld(rng, ht, wd, fx, fy, tex_scale=5)
+    # texture sized so a walk of `frames` steps stays on texture
+    ts = 3 + 2 * (frames // 25)
+    world = _PlaneWorld(rng, ht, wd, fx, fy, tex_scale=ts,
+                        n_planes=n_planes)
     images = np.zeros((frames, ht, wd, 3), np.uint8)
     poses = np.zeros((frames, 7), np.float32)
-    for k in range(frames):
-        ph = 2 * np.pi * k / frames
-        tk = np.array([amp * np.sin(2 * ph), 0.6 * amp * np.sin(ph),
-                       0.25 * amp * np.sin(3 * ph)])
-        w = np.array([0.04 * np.sin(ph + 1.0), 0.05 * np.sin(2 * ph),
-                      0.03 * np.sin(ph)])
-        Rk = _so3_exp(w)
-        images[k], _ = world.render(Rk, tk)
-        poses[k] = _pose7(Rk, tk)
+    if path == "walk":
+        Rk = np.eye(3)
+        tk = np.zeros(3)
+        vel = rng.normal(size=3)
+        vel *= rng.uniform(0.03, 0.1) / np.linalg.norm(vel)
+        for k in range(frames):
+            images[k], _ = world.render(Rk, tk)
+            poses[k] = _pose7(Rk, tk)
+            dR = _so3_exp(rng.normal(0, 0.015, 3))
+            Rk = dR @ Rk
+            tk = dR @ tk + rng.normal(0, 0.03, 3) + vel
+    else:
+        for k in range(frames):
+            ph = 2 * np.pi * k / frames
+            tk = np.array([amp * np.sin(2 * ph), 0.6 * amp * np.sin(ph),
+                           0.25 * amp * np.sin(3 * ph)])
+            w = np.array([0.04 * np.sin(ph + 1.0), 0.05 * np.sin(2 * ph),
+                          0.03 * np.sin(ph)])
+            Rk = _so3_exp(w)
+            images[k], _ = world.render(Rk, tk)
+            poses[k] = _pose7(Rk, tk)
     return images, poses, world.intrinsics()
 
 

@@ -59,6 +59,10 @@ class DPVOConfig:
     # the host drains the device descriptor/event logs + attempts closures
     DESC_DIM: int = 2048
     LC_INTERVAL: int = 16
+    # steady-state patch inverse-depth init: "random" (this reference
+    # fork, `dpvo/dpvo.py:818`) or "median" (upstream DPVO: median of the
+    # last 3 frames' patch depths — lower per-frame depth noise)
+    DEPTH_INIT: str = "random"
     # patch-center policy: "random" (reference default), or "keypoints"
     # (Shi-Tomasi top-M, the SuperPoint-equivalent of `dpvo/net.py:112-117`)
     PATCH_SELECTOR: str = "random"
