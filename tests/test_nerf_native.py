@@ -1,0 +1,118 @@
+"""Native NeRF (nerf/ngp.py + nerf/train_native.py) unit + learning tests.
+
+The reference's NeRF stage is an external nerfstudio invocation
+(`nerf_train/nerf_train.py:21-42`); the rebuild's native field must (a)
+get the encoding/rendering math right and (b) demonstrably learn a scene.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from wild_video_3d_reconstruction_tpu.nerf import ngp  # noqa: E402
+from wild_video_3d_reconstruction_tpu.nerf import train_native  # noqa: E402
+
+
+def test_hash_encode_grid_corner_exact():
+    """At an exact grid vertex the trilinear blend collapses to the single
+    hashed corner entry — checks hashing + interpolation indexing."""
+    key = jax.random.PRNGKey(0)
+    table, res = ngp.hash_grid_init(key, levels=1, table_size=64,
+                                    features=2, base_res=5, max_res=5)
+    # x chosen so xs = x * (res-1) = 3 exactly on every axis
+    x = jnp.asarray([[3.0 / 4.0, 3.0 / 4.0, 3.0 / 4.0]])
+    out = ngp.hash_encode(x, table, res)
+    idx = ngp._hash(jnp.asarray([[3, 3, 3]], jnp.int32), 64)[0]
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               np.asarray(table[0, idx]), rtol=1e-6)
+
+
+def test_hash_encode_continuity_and_shape():
+    key = jax.random.PRNGKey(1)
+    table, res = ngp.hash_grid_init(key, levels=4, table_size=256,
+                                    features=2, base_res=4, max_res=32)
+    x = jax.random.uniform(key, (17, 3))
+    out = ngp.hash_encode(x, table, res)
+    assert out.shape == (17, 8)
+    eps = 1e-5
+    out2 = ngp.hash_encode(x + eps, table, res)
+    assert float(jnp.max(jnp.abs(out - out2))) < 1e-2  # Lipschitz-ish
+
+
+def test_sh_encode_basis():
+    d = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    sh = ngp.sh_encode(d)
+    assert sh.shape == (2, 16)
+    np.testing.assert_allclose(np.asarray(sh[:, 0]),
+                               0.28209479177387814, rtol=1e-6)
+
+
+def test_empty_field_renders_background():
+    """Forcing sigma -> 0 must composite to pure background with zero
+    accumulated opacity (checks the transmittance/compositing chain)."""
+    params, static = ngp.field_init(jax.random.PRNGKey(0), levels=2,
+                                    table_size=128, max_res=32)
+    params["sigma2"]["w"] = params["sigma2"]["w"].at[:, 0].set(0.0)
+    params["sigma2"]["b"] = params["sigma2"]["b"].at[0].set(-15.0)
+    o = jnp.full((5, 3), 0.1)
+    d = jnp.tile(jnp.asarray([[0.577, 0.577, 0.577]]), (5, 1))
+    rgb, depth, acc = ngp.render_rays(params, static, o, d,
+                                      jax.random.PRNGKey(1), n_samples=16,
+                                      bg=0.75, stratified=False)
+    np.testing.assert_allclose(np.asarray(rgb), 0.75, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-4)
+
+
+def test_camera_ray_conventions():
+    c2w = np.eye(4)
+    intr = [10.0, 10.0, 16.0, 12.0]
+    o, d = ngp.camera_rays(c2w, intr, (24, 32), convention="opencv")
+    center = np.asarray(d).reshape(24, 32, 3)[12, 16]
+    assert center[2] > 0.99          # +z forward
+    o, d = ngp.camera_rays(c2w, intr, (24, 32), convention="opengl")
+    center = np.asarray(d).reshape(24, 32, 3)[12, 16]
+    assert center[2] < -0.99         # -z forward
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1),
+                               1.0, atol=1e-5)
+
+
+def test_normalize_scene_bounds():
+    pts = np.random.default_rng(0).uniform(-4, 9, (50, 3))
+    center, scale = ngp.normalize_scene(pts, margin=0.2)
+    unit = (pts - center) * scale + 0.5
+    assert unit.min() >= 0.2 - 1e-6 and unit.max() <= 0.8 + 1e-6
+
+
+def test_native_field_learns_synthetic_scene():
+    """End-to-end: the field overfits a rendered multi-plane orbit scene —
+    held-out PSNR improves by several dB over the random-init field."""
+    images, c2ws, intrs, conv = train_native.synth_scene(seed=3, frames=6,
+                                                         ht=24, wd=32)
+    params, static, rep = train_native.train(
+        images, c2ws, intrs, conv, steps=150, batch=512, n_samples=32,
+        levels=6, table_size=2 ** 12, max_res=128, eval_every=150,
+        holdout=6, log=lambda *a: None)
+    assert rep["psnr"] > rep["psnr_init"] + 3.0, rep
+    assert rep["psnr"] > 14.0, rep
+
+
+def test_transforms_json_loader(tmp_path):
+    import cv2
+
+    img = (np.random.default_rng(0).uniform(0, 255, (16, 20, 3))
+           .astype(np.uint8))
+    cv2.imwrite(str(tmp_path / "000000.png"), img)
+    meta = {"fl_x": 10.0, "fl_y": 10.0, "cx": 10.0, "cy": 8.0,
+            "w": 20, "h": 16,
+            "frames": [{"file_path": "000000.png",
+                        "transform_matrix": np.eye(4).tolist()}]}
+    with open(tmp_path / "transforms.json", "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    images, c2ws, intrs, conv = train_native.load_transforms(tmp_path)
+    assert images.shape == (1, 16, 20, 3) and conv == "opengl"
+    np.testing.assert_allclose(intrs[0], [10.0, 10.0, 10.0, 8.0])
+    np.testing.assert_allclose(c2ws[0], np.eye(4))

@@ -1,0 +1,276 @@
+"""TPU-native NeRF: multiresolution hash encoding + fused MLP field.
+
+The reference delegates its 3D-reconstruction stage to the external
+nerfstudio CLI (`nerf_train/nerf_train.py:11-86` shells out to
+`ns-train nerfacto`). This module makes that capability native: an
+instant-NGP-style radiance field (Mueller et al. 2022) written directly
+in JAX so the whole train step — ray sampling, hash-grid gathers, MLP
+evaluation, volume rendering, Adam update — is ONE jitted XLA program.
+
+TPU mapping:
+  - the hash-table lookups are batched gathers (VPU); every other FLOP
+    (density/color MLPs over rays x samples) is a large batched matmul
+    that tiles onto the MXU;
+  - all shapes are static: `n_samples` per ray, fixed ray batch, fixed
+    table sizes — no recompiles, no dynamic control flow;
+  - the field parameters live in a flat pytree, donated through the
+    train step, so the hash table never round-trips host<->device.
+
+Everything degrades gracefully to CPU for tests (small tables / batches).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# large primes for spatial hashing (instant-ngp's choice of coprimes)
+_PRIMES = jnp.array([1, 2654435761, 805459861], dtype=jnp.uint32)
+
+
+def hash_grid_init(key, levels=8, table_size=2 ** 14, features=2,
+                   base_res=16, max_res=256):
+    """Per-level hash tables [L, T, F] (uniform 1e-4 like instant-ngp)
+    plus the static level resolutions."""
+    if levels > 1:
+        growth = float(np.exp(np.log(max_res / base_res) / (levels - 1)))
+    else:
+        growth = 1.0
+    res = np.floor(base_res * growth ** np.arange(levels)).astype(np.int32)
+    table = jax.random.uniform(key, (levels, table_size, features),
+                               minval=-1e-4, maxval=1e-4, dtype=jnp.float32)
+    return table, jnp.asarray(res)
+
+
+def _hash(corner_idx, table_size):
+    """Spatial hash of integer corner coords [..., 3] -> [0, T)."""
+    h = (corner_idx.astype(jnp.uint32) * _PRIMES).astype(jnp.uint32)
+    h = h[..., 0] ^ h[..., 1] ^ h[..., 2]
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+def hash_encode(x, table, level_res):
+    """Multiresolution hash encoding of points `x` in [0, 1]^3.
+
+    x: [..., 3]; table: [L, T, F]; returns [..., L*F] (trilinear blend of
+    the 8 hashed corner features at each level).
+    """
+    L, T, F = table.shape
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, 3)                                   # [N, 3]
+
+    # [L, N, 3] scaled per-level coordinates
+    xs = xf[None] * (level_res.astype(jnp.float32)[:, None, None] - 1.0)
+    x0 = jnp.floor(xs)
+    frac = xs - x0                                          # [L, N, 3]
+    x0 = x0.astype(jnp.int32)
+
+    # 8 corner offsets [8, 3]
+    corners = jnp.asarray([[i, j, k] for i in (0, 1) for j in (0, 1)
+                           for k in (0, 1)], dtype=jnp.int32)
+    idx = _hash(x0[:, :, None, :] + corners[None, None], T)  # [L, N, 8]
+    feats = jnp.take_along_axis(
+        table, idx.reshape(L, -1, 1), axis=1).reshape(L, -1, 8, F)
+
+    w = jnp.where(corners[None, None].astype(bool),
+                  frac[:, :, None, :], 1.0 - frac[:, :, None, :])
+    w = jnp.prod(w, axis=-1)                                # [L, N, 8]
+    out = jnp.sum(w[..., None] * feats, axis=2)             # [L, N, F]
+    return jnp.moveaxis(out, 0, 1).reshape(*lead, L * F)
+
+
+def sh_encode(d):
+    """Real spherical harmonics basis up to degree 3 (16 coeffs) of unit
+    directions [..., 3] — the view-direction encoding instant-ngp uses."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    return jnp.stack([
+        jnp.full_like(x, 0.28209479177387814),
+        -0.48860251190291987 * y,
+        0.48860251190291987 * z,
+        -0.48860251190291987 * x,
+        1.0925484305920792 * xy,
+        -1.0925484305920792 * yz,
+        0.94617469575755997 * zz - 0.31539156525251999,
+        -1.0925484305920792 * xz,
+        0.54627421529603959 * (xx - yy),
+        0.59004358992664352 * y * (-3.0 * xx + yy),
+        2.8906114426405538 * xy * z,
+        0.45704579946446572 * y * (1.0 - 5.0 * zz),
+        0.3731763325901154 * z * (5.0 * zz - 3.0),
+        0.45704579946446572 * x * (1.0 - 5.0 * zz),
+        1.4453057213202769 * z * (xx - yy),
+        0.59004358992664352 * x * (-xx + 3.0 * yy),
+    ], axis=-1)
+
+
+def _dense(key, n_in, n_out):
+    k = np.sqrt(1.0 / n_in)
+    return {"w": jax.random.uniform(key, (n_in, n_out), minval=-k,
+                                    maxval=k, dtype=jnp.float32),
+            "b": jnp.zeros((n_out,), jnp.float32)}
+
+
+def field_init(key, levels=8, table_size=2 ** 14, features=2,
+               base_res=16, max_res=256, hidden=64, geo_feat=15):
+    """Full radiance-field parameter pytree."""
+    ks = jax.random.split(key, 6)
+    table, res = hash_grid_init(ks[0], levels, table_size, features,
+                                base_res, max_res)
+    enc = levels * features
+    return {
+        "table": table,
+        "sigma1": _dense(ks[1], enc, hidden),
+        "sigma2": _dense(ks[2], hidden, 1 + geo_feat),
+        "rgb1": _dense(ks[3], 16 + geo_feat, hidden),
+        "rgb2": _dense(ks[4], hidden, hidden),
+        "rgb3": _dense(ks[5], hidden, 3),
+    }, {"level_res": res}
+
+
+def _mlp(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def field_query(params, static, x, d):
+    """(sigma [...,], rgb [..., 3]) at points x in [0,1]^3 with unit view
+    directions d. Two tiny MLPs — both pure matmuls for the MXU."""
+    h = hash_encode(x, params["table"], static["level_res"])
+    h = jax.nn.relu(_mlp(params["sigma1"], h))
+    h = _mlp(params["sigma2"], h)
+    # truncated-exp density activation (exp clipped for fp stability)
+    sigma = jnp.exp(jnp.clip(h[..., 0], -15.0, 15.0))
+    geo = h[..., 1:]
+    c = jnp.concatenate([sh_encode(d), geo], axis=-1)
+    c = jax.nn.relu(_mlp(params["rgb1"], c))
+    c = jax.nn.relu(_mlp(params["rgb2"], c))
+    rgb = jax.nn.sigmoid(_mlp(params["rgb3"], c))
+    return sigma, rgb
+
+
+def render_rays(params, static, origins, dirs, key, n_samples=64,
+                near=0.05, far=3.0, bg=1.0, stratified=True):
+    """Volume-render a batch of rays [B, 3] -> (rgb [B, 3], depth [B],
+    acc [B]). Fixed `n_samples` stratified points per ray (static shape);
+    the standard exclusive-transmittance compositing."""
+    B = origins.shape[0]
+    t = jnp.linspace(near, far, n_samples)                  # [S]
+    t = jnp.broadcast_to(t, (B, n_samples))
+    if stratified:
+        dt = (far - near) / (n_samples - 1)
+        t = t + jax.random.uniform(key, (B, n_samples)) * dt
+    pts = origins[:, None] + t[..., None] * dirs[:, None]   # [B, S, 3]
+    pts = jnp.clip(pts, 0.0, 1.0)
+    sigma, rgb = field_query(params, static, pts,
+                             jnp.broadcast_to(dirs[:, None], pts.shape))
+    delta = jnp.diff(t, axis=-1, append=t[:, -1:] + (far - near))
+    alpha = 1.0 - jnp.exp(-sigma * delta)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]),
+                             trans[:, :-1]], axis=-1)       # exclusive
+    w = alpha * trans                                       # [B, S]
+    acc = jnp.sum(w, axis=-1)
+    rgb_out = jnp.sum(w[..., None] * rgb, axis=1) + (1.0 - acc[:, None]) * bg
+    depth = jnp.sum(w * t, axis=-1)
+    return rgb_out, depth, acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "tx"),
+                   donate_argnums=(0, 1))
+def train_step(params, opt_state, static, rays, key, n_samples, tx,
+               near, far):
+    """One Adam step on the photometric MSE of a ray batch.
+
+    rays: [B, 9] = (origin, dir, target_rgb). Returns (params, opt_state,
+    loss). Fully jitted; params/opt_state donated so the hash table stays
+    device-resident.
+    """
+    def loss_fn(p):
+        rgb, _, _ = render_rays(p, static, rays[:, 0:3], rays[:, 3:6],
+                                key, n_samples=n_samples, near=near,
+                                far=far)
+        return jnp.mean((rgb - rays[:, 6:9]) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    return params, opt_state, loss
+
+
+def make_optimizer(lr=1e-2, lr_mlp=None):
+    """Adam with the instant-ngp split: high lr + zero weight-decay for
+    the hash table, lower lr for the MLPs."""
+    import optax
+    lr_mlp = lr_mlp if lr_mlp is not None else lr * 0.3
+
+    def label(params):
+        return {k: ("table" if k == "table" else "mlp") for k in params}
+
+    return optax.multi_transform(
+        {"table": optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15),
+         "mlp": optax.adam(lr_mlp, b1=0.9, b2=0.99, eps=1e-15)},
+        label)
+
+
+def render_image(params, static, c2w, intr, hw, n_samples=64, near=0.05,
+                 far=3.0, convention="opencv", chunk=4096,
+                 scene_transform=None):
+    """Render a full image [H, W, 3] by chunked jitted ray batches."""
+    rays_o, rays_d = camera_rays(c2w, intr, hw, convention)
+    if scene_transform is not None:
+        rays_o, rays_d = scene_transform(rays_o, rays_d)
+    n = rays_o.shape[0]
+    pad = (-n) % chunk
+    ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))])
+    rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))])
+
+    @jax.jit
+    def _chunk(p, o, d):
+        rgb, depth, acc = render_rays(p, static, o, d,
+                                      jax.random.PRNGKey(0),
+                                      n_samples=n_samples, near=near,
+                                      far=far, stratified=False)
+        return rgb, depth, acc
+
+    outs = [_chunk(params, ro[i:i + chunk], rd[i:i + chunk])
+            for i in range(0, n + pad, chunk)]
+    rgb = jnp.concatenate([o[0] for o in outs])[:n]
+    depth = jnp.concatenate([o[1] for o in outs])[:n]
+    h, w = hw
+    return (np.asarray(rgb).reshape(h, w, 3),
+            np.asarray(depth).reshape(h, w))
+
+
+def camera_rays(c2w, intr, hw, convention="opencv"):
+    """World-space (origins, dirs) [H*W, 3] for a pinhole camera.
+
+    convention="opencv": +z forward, +y down (the SLAM/synth convention);
+    "opengl": -z forward, +y up (nerfstudio transforms.json).
+    """
+    h, w = hw
+    fx, fy, cx, cy = [float(v) for v in intr]
+    v, u = np.mgrid[0:h, 0:w].astype(np.float64) + 0.5
+    if convention == "opencv":
+        d = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+    else:
+        d = np.stack([(u - cx) / fx, -(v - cy) / fy, -np.ones_like(u)], -1)
+    d = d.reshape(-1, 3) @ np.asarray(c2w)[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(np.asarray(c2w)[:3, 3], d.shape)
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def normalize_scene(points, margin=0.15):
+    """Map world points into the unit cube: returns (center, scale) with
+    p_unit = (p - center) * scale + 0.5, chosen so every given point
+    (cameras AND scene-content samples) lands within
+    [margin, 1-margin]^3 — the field's domain is [0,1]^3."""
+    pos = np.asarray(points, np.float64).reshape(-1, 3)
+    center = (pos.max(0) + pos.min(0)) / 2.0
+    extent = float((pos.max(0) - pos.min(0)).max())
+    scale = (1.0 - 2 * margin) / max(extent, 1e-6)
+    return center, scale

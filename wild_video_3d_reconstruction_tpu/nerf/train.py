@@ -13,9 +13,23 @@ from pathlib import Path
 
 
 def run_ns_train(data_path, max_iterations=30000, eval_mode="interval",
-                 eval_interval=8, vis="tensorboard", method="nerfacto"):
-    """Run one `ns-train` job; returns True on success."""
+                 eval_interval=8, vis="tensorboard", method="nerfacto",
+                 native_fallback=True):
+    """Run one `ns-train` job; returns True on success.
+
+    When nerfstudio is not installed, falls back to the in-repo
+    TPU-native instant-NGP trainer (`nerf/train_native.py`) on the same
+    transforms.json data."""
     if shutil.which("ns-train") is None:
+        if native_fallback:
+            print("ns-train not found — training with the native NGP "
+                  f"field on {data_path}.")
+            from . import train_native
+            images, c2ws, intrs, conv = \
+                train_native.load_transforms(data_path)
+            steps = min(max_iterations, 4000)
+            train_native.train(images, c2ws, intrs, conv, steps=steps)
+            return True
         print("ns-train not found — install nerfstudio to train NeRFs. "
               f"Prepared data is ready at {data_path}.")
         return False
