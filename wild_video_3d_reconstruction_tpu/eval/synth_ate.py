@@ -36,10 +36,9 @@ def run(params=None, frames=60, ht=48, wd=64, seed=0, probe_stub=True,
         BUFFER_SIZE=max(frames + 8, 64), PATCHES_PER_FRAME=16,
         REMOVAL_WINDOW=8, OPTIMIZATION_WINDOW=6, PATCH_LIFETIME=5,
         KEYFRAME_INDEX=2, MEM=16, GRADIENT_BIAS=False, PALLAS_CORR=False,
-        CORR_CHUNK=1024, DEPTH_INIT="median")
+        CORR_CHUNK=1024, DEPTH_INIT="median",
+        MOTION_PROBE_THRESH=-1.0 if probe_stub else 2.0)
     slam = DPVO(cfg, params, ht, wd, seed=0)
-    if probe_stub:
-        slam._probe = lambda *a: 100.0
 
     for t in range(frames):
         slam(t, images[t], intrinsics=np.asarray(intr, np.float64))

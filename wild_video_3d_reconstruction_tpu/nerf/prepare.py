@@ -67,9 +67,8 @@ def generate_nf_transform(recon_dir, output_dir, start_idx=0,
     have = {f["colmap_im_id"] for f in frames}
     if frames:
         fallback = min(frames, key=lambda f: f["colmap_im_id"])
-        for i in range(start_idx, end_idx):
-            if i not in have and i in range(start_idx,
-                                            max(have) if have else start_idx):
+        for i in range(max(start_idx, min(have)), max(have)):
+            if i not in have:
                 frames.append({
                     "file_path": f"{image_dir}/{i:06d}.png",
                     "transform_matrix": fallback["transform_matrix"],
@@ -85,3 +84,22 @@ def generate_nf_transform(recon_dir, output_dir, start_idx=0,
     with open(output_dir / "transforms.json", "w", encoding="utf-8") as f:
         json.dump(out, f, indent=4)
     return output_dir / "transforms.json"
+
+
+def prepare_clips(recon_dir, output_dir, clips, intrinsic_scale=1.0,
+                  image_dir="../../images", variant="ours"):
+    """Batch prepare: one transforms.json per [start, end) clip range.
+
+    The reference's `nerf_prepare_batch.py:246-258` loop — each clip of a
+    long in-the-wild sequence becomes `select_{s}_{e}/{variant}/` so
+    `nerf/train.train_clips` can sweep them. Returns {clip_name: path}.
+    """
+    out = {}
+    for start_idx, end_idx in clips:
+        clip_dir = (Path(output_dir) / f"select_{start_idx}_{end_idx}"
+                    / variant)
+        out[f"select_{start_idx}_{end_idx}"] = generate_nf_transform(
+            recon_dir, clip_dir, start_idx=start_idx, end_idx=end_idx,
+            intrinsic_scale=intrinsic_scale,
+            image_dir=f"../{image_dir}")
+    return out

@@ -51,11 +51,14 @@ def run_ns_train(data_path, max_iterations=30000, eval_mode="interval",
     return True
 
 
-def train_clips(base_dir, pattern="*_select_*", **kwargs):
+def train_clips(base_dir, pattern="**/transforms.json", **kwargs):
     """Batch driver over prepared clip directories
-    (`nerf_train/nerf_train.py:69-82`)."""
+    (`nerf_train/nerf_train.py:69-82`): trains every directory holding a
+    transforms.json under `base_dir`, e.g. the `select_{s}_{e}/ours/`
+    layout written by `prepare.prepare_clips`."""
+    base_dir = Path(base_dir)
     results = {}
-    for clip in sorted(Path(base_dir).glob(pattern)):
-        if (clip / "transforms.json").exists():
-            results[clip.name] = run_ns_train(clip, **kwargs)
+    for tf in sorted(base_dir.glob(pattern)):
+        results[str(tf.parent.relative_to(base_dir))] = \
+            run_ns_train(tf.parent, **kwargs)
     return results

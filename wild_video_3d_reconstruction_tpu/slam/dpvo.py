@@ -211,8 +211,9 @@ class DPVO:
         self.tstamps[self.n_host] = self.counter
         self.counter += 1
 
-        if self.n_host > 0 and not self.is_initialized:
-            if float(self._probe(self.state, self.params)) < 2.0:
+        thresh = getattr(self.cfg, "MOTION_PROBE_THRESH", 2.0)
+        if self.n_host > 0 and not self.is_initialized and thresh >= 0:
+            if float(self._probe(self.state, self.params)) < thresh:
                 self.parked.append(self.counter - 1)
                 self.delta[self.counter - 1] = (
                     self.counter - 2, np.asarray(lie.se3_identity(())))

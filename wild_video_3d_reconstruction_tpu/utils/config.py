@@ -30,6 +30,9 @@ class DPVOConfig:
     # camera motion model
     MOTION_MODEL: str = "DAMPED_LINEAR"
     MOTION_DAMPING: float = 0.5
+    # warm-up frame-acceptance gate (`dpvo/dpvo.py:846-850` hard-codes 2.0
+    # px of probed flow; <0 disables the gate entirely)
+    MOTION_PROBE_THRESH: float = 2.0
     MIXED_PRECISION: bool = True
     # loop closure
     loop_enabled: bool = False

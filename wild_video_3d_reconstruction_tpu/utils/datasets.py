@@ -26,6 +26,9 @@ class Dataset:
     stride: int = 1
     config: str = "configs/default.yaml"
     notes: str = ""
+    # [start, end) frame ranges for per-clip NeRF training
+    # (`nerf_prepare_batch.py` Datasets[...]["clips"])
+    clips: Optional[list] = None
 
 
 DATASETS: dict[str, Dataset] = {}
