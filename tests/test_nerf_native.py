@@ -100,6 +100,25 @@ def test_native_field_learns_synthetic_scene():
     assert rep["psnr"] > 14.0, rep
 
 
+def test_mesh_sharded_training_matches_single_device():
+    """The dp-sharded train step (ray batch split over the 8-device mesh,
+    params replicated, GSPMD grad all-reduce) follows the same loss
+    trajectory as the unsharded step — same seeds, same sampling."""
+    from jax.sharding import Mesh
+
+    images, c2ws, intrs, conv = train_native.synth_scene(seed=5, frames=5,
+                                                         ht=24, wd=32)
+    kw = dict(steps=8, batch=256, n_samples=16, levels=4,
+              table_size=2 ** 10, max_res=64, eval_every=8, holdout=5,
+              log=lambda *a: None)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    _, _, rep_mesh = train_native.train(images, c2ws, intrs, conv,
+                                        mesh=mesh, **kw)
+    _, _, rep_one = train_native.train(images, c2ws, intrs, conv, **kw)
+    assert abs(rep_mesh["psnr"] - rep_one["psnr"]) < 0.15, \
+        (rep_mesh, rep_one)
+
+
 def test_transforms_json_loader(tmp_path):
     import cv2
 

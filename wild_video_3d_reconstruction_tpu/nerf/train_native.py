@@ -108,8 +108,14 @@ def psnr(a, b):
 
 def train(images, c2ws, intrs, convention, steps=2000, batch=4096,
           n_samples=64, levels=8, table_size=2 ** 14, max_res=256,
-          lr=1e-2, eval_every=500, holdout=8, seed=0, log=print):
-    """Train the field; returns (params, static, report dict)."""
+          lr=1e-2, eval_every=500, holdout=8, seed=0, log=print,
+          mesh=None):
+    """Train the field; returns (params, static, report dict).
+
+    With `mesh` (a 1-axis `jax.sharding.Mesh` named "dp"), each step's
+    ray batch is sharded across devices and the parameters replicated —
+    GSPMD inserts the gradient all-reduce, so the same step function
+    scales data-parallel over ICI with no code change."""
     import jax
     import jax.numpy as jnp
 
@@ -126,6 +132,16 @@ def train(images, c2ws, intrs, convention, steps=2000, batch=4096,
     tx = ngp.make_optimizer(lr)
     opt_state = tx.init(params)
 
+    batch_spec = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(mesh, PartitionSpec())
+        batch_spec = NamedSharding(mesh, PartitionSpec("dp"))
+        rays = jax.device_put(rays, repl)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
     import functools
 
     @functools.partial(jax.jit, donate_argnums=(0, 1),
@@ -134,6 +150,8 @@ def train(images, c2ws, intrs, convention, steps=2000, batch=4096,
         k1, k2 = jax.random.split(key)
         idx = jax.random.randint(k1, (nb,), 0, rays.shape[0])
         b = rays[idx]
+        if batch_spec is not None:
+            b = jax.lax.with_sharding_constraint(b, batch_spec)
 
         def loss_fn(p):
             rgb, _, _ = ngp.render_rays(p, static, b[:, 0:3], b[:, 3:6],
@@ -198,6 +216,8 @@ def main(argv=None):
     ap.add_argument("--save", type=str, default=None)
     ap.add_argument("--render", type=str, default=None,
                     help="write a rendered held-out view PNG here")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard ray batches data-parallel over N devices")
     args = ap.parse_args(argv)
 
     if args.synth or args.data is None:
@@ -206,13 +226,20 @@ def main(argv=None):
         data = load_transforms(args.data)
     images, c2ws, intrs, conv = data
 
+    mesh = None
+    if args.mesh:
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:args.mesh]), ("dp",))
+
     params, static, rep = train(images, c2ws, intrs, conv,
                                 steps=args.steps, batch=args.batch,
                                 n_samples=args.samples,
                                 levels=args.levels,
                                 table_size=2 ** args.table_log2,
                                 max_res=args.max_res, lr=args.lr,
-                                eval_every=args.eval_every)
+                                eval_every=args.eval_every, mesh=mesh)
     center, scale = rep.pop("center"), rep.pop("scale")
     near, far = rep.pop("near"), rep.pop("far")
 
