@@ -32,7 +32,7 @@ import numpy as np
 
 
 def run(params=None, frames=40, ht=48, wd=64, seed=0, nerf_steps=400,
-        workdir=None, path="walk"):
+        workdir=None, path="walk", refine=True):
     import cv2
     import jax
     import jax.numpy as jnp
@@ -77,12 +77,18 @@ def run(params=None, frames=40, ht=48, wd=64, seed=0, nerf_steps=400,
     prepare.generate_nf_transform(recon, nerf_dir,
                                   image_dir="../../images")
 
-    # 4. native NGP training on the prepared data
+    # 4. native NGP training on the prepared data; pose refinement is on
+    #    by default because the poses come from SLAM, not SfM
     data = train_native.load_transforms(nerf_dir)
-    _, _, rep = train_native.train(*data, steps=nerf_steps,
-                                   batch=2048, n_samples=48,
-                                   table_size=2 ** 13,
-                                   eval_every=nerf_steps)
+    if refine:
+        _, _, rep = train_native.train_refine(
+            *data, steps=nerf_steps, batch=2048, n_coarse=32, n_fine=24,
+            table_size=2 ** 13, eval_every=nerf_steps)
+    else:
+        _, _, rep = train_native.train(*data, steps=nerf_steps,
+                                       batch=2048, n_samples=48,
+                                       table_size=2 ** 13,
+                                       eval_every=nerf_steps)
 
     # 5. trajectory accuracy vs the renderer's ground truth
     gt_c2w = np.asarray(lie.se3_inv(jnp.asarray(poses_gt_w2c)))
@@ -92,6 +98,8 @@ def run(params=None, frames=40, ht=48, wd=64, seed=0, nerf_steps=400,
     return {"metric": "recon_e2e", "frames": frames,
             "ate_rmse": float(ate), "n_aligned": int(n),
             "psnr_init": rep["psnr_init"], "psnr": rep["psnr"],
+            "refine": bool(refine),
+            "pose_delta_rms": rep.get("pose_delta_rms"),
             "nerf_steps": nerf_steps, "workdir": str(workdir)}
 
 
@@ -104,6 +112,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--path", choices=["walk", "orbit"], default="walk")
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("--no_refine", action="store_true",
+                    help="plain NGP trainer instead of the refined one")
     args = ap.parse_args()
 
     params = None
@@ -118,7 +128,7 @@ def main():
 
     rep = run(params=params, frames=args.frames, seed=args.seed,
               nerf_steps=args.nerf_steps, workdir=args.workdir,
-              path=args.path)
+              path=args.path, refine=not args.no_refine)
     print(json.dumps(rep))
 
 

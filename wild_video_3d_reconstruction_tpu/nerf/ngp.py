@@ -108,6 +108,36 @@ def sh_encode(d):
     ], axis=-1)
 
 
+def rodrigues(w):
+    """so(3) exponential: axis-angle [..., 3] -> rotation [..., 3, 3]
+    (Taylor-guarded like `ops/lie.py`; used for pose refinement)."""
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = theta2 < 1e-12
+    # double-where: the untaken branch must see a benign theta or its
+    # cotangent is 0 * inf = NaN at w == 0 (same guard as ops/lie.py)
+    safe2 = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(safe2)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / safe2)
+    zeros = jnp.zeros_like(w[..., 0])
+    K = jnp.stack([
+        jnp.stack([zeros, -w[..., 2], w[..., 1]], -1),
+        jnp.stack([w[..., 2], zeros, -w[..., 0]], -1),
+        jnp.stack([-w[..., 1], w[..., 0], zeros], -1)], -2)
+    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
+    return eye + A * K + B * (K @ K)
+
+
+def contract(x):
+    """mipnerf-360 scene contraction: R^3 -> ball of radius 2. Points
+    inside the unit ball are unchanged; outside, radius r maps to
+    2 - 1/r — unbounded backgrounds land at finite grid coordinates."""
+    r = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return jnp.where(r <= 1.0, x, (2.0 - 1.0 / jnp.maximum(r, 1e-6))
+                     * x / jnp.maximum(r, 1e-6))
+
+
 def _dense(key, n_in, n_out):
     k = np.sqrt(1.0 / n_in)
     return {"w": jax.random.uniform(key, (n_in, n_out), minval=-k,
@@ -116,8 +146,10 @@ def _dense(key, n_in, n_out):
 
 
 def field_init(key, levels=8, table_size=2 ** 14, features=2,
-               base_res=16, max_res=256, hidden=64, geo_feat=15):
-    """Full radiance-field parameter pytree."""
+               base_res=16, max_res=256, hidden=64, geo_feat=15,
+               app_dim=0):
+    """Full radiance-field parameter pytree. `app_dim > 0` widens the
+    color MLP for a per-image appearance embedding (nerfacto-style)."""
     ks = jax.random.split(key, 6)
     table, res = hash_grid_init(ks[0], levels, table_size, features,
                                 base_res, max_res)
@@ -126,7 +158,7 @@ def field_init(key, levels=8, table_size=2 ** 14, features=2,
         "table": table,
         "sigma1": _dense(ks[1], enc, hidden),
         "sigma2": _dense(ks[2], hidden, 1 + geo_feat),
-        "rgb1": _dense(ks[3], 16 + geo_feat, hidden),
+        "rgb1": _dense(ks[3], 16 + geo_feat + app_dim, hidden),
         "rgb2": _dense(ks[4], hidden, hidden),
         "rgb3": _dense(ks[5], hidden, 3),
     }, {"level_res": res}
@@ -136,16 +168,20 @@ def _mlp(p, x):
     return x @ p["w"] + p["b"]
 
 
-def field_query(params, static, x, d):
+def field_query(params, static, x, d, app=None):
     """(sigma [...,], rgb [..., 3]) at points x in [0,1]^3 with unit view
-    directions d. Two tiny MLPs — both pure matmuls for the MXU."""
+    directions d. Two tiny MLPs — both pure matmuls for the MXU.
+    `app`: optional per-point appearance embedding [..., A]."""
     h = hash_encode(x, params["table"], static["level_res"])
     h = jax.nn.relu(_mlp(params["sigma1"], h))
     h = _mlp(params["sigma2"], h)
     # truncated-exp density activation (exp clipped for fp stability)
     sigma = jnp.exp(jnp.clip(h[..., 0], -15.0, 15.0))
     geo = h[..., 1:]
-    c = jnp.concatenate([sh_encode(d), geo], axis=-1)
+    parts = [sh_encode(d), geo]
+    if app is not None:
+        parts.append(app)
+    c = jnp.concatenate(parts, axis=-1)
     c = jax.nn.relu(_mlp(params["rgb1"], c))
     c = jax.nn.relu(_mlp(params["rgb2"], c))
     rgb = jax.nn.sigmoid(_mlp(params["rgb3"], c))
@@ -167,7 +203,13 @@ def render_rays(params, static, origins, dirs, key, n_samples=64,
     pts = jnp.clip(pts, 0.0, 1.0)
     sigma, rgb = field_query(params, static, pts,
                              jnp.broadcast_to(dirs[:, None], pts.shape))
-    delta = jnp.diff(t, axis=-1, append=t[:, -1:] + (far - near))
+    rgb_out, depth, acc, _ = _composite(sigma, rgb, t, far - near, bg)
+    return rgb_out, depth, acc
+
+
+def _composite(sigma, rgb, t, tail_delta, bg):
+    """Exclusive-transmittance alpha compositing over samples t [B, S]."""
+    delta = jnp.diff(t, axis=-1, append=t[:, -1:] + tail_delta)
     alpha = 1.0 - jnp.exp(-sigma * delta)
     trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
     trans = jnp.concatenate([jnp.ones_like(trans[:, :1]),
@@ -176,6 +218,73 @@ def render_rays(params, static, origins, dirs, key, n_samples=64,
     acc = jnp.sum(w, axis=-1)
     rgb_out = jnp.sum(w[..., None] * rgb, axis=1) + (1.0 - acc[:, None]) * bg
     depth = jnp.sum(w * t, axis=-1)
+    return rgb_out, depth, acc, w
+
+
+def _sample_pdf(key, t, weights, n):
+    """Inverse-CDF importance sampling of `n` new depths per ray from the
+    piecewise-constant weight histogram over sorted sample depths t [B, S]
+    (the NeRF fine-sampling rule, static shapes for XLA)."""
+    B, S = t.shape
+    mid = 0.5 * (t[:, 1:] + t[:, :-1])                      # [B, S-1]
+    edges = jnp.concatenate([t[:, :1], mid, t[:, -1:]], -1)  # [B, S+1]
+    w = weights + 1e-5
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.concatenate([jnp.zeros((B, 1)),
+                           jnp.cumsum(pdf, axis=-1)], -1)   # [B, S+1]
+    u = (jnp.arange(n) + jax.random.uniform(key, (B, n))) / n
+    idx = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
+        cdf, u)
+    below = jnp.clip(idx - 1, 0, S)
+    above = jnp.clip(idx, 0, S)
+    g = lambda a, i: jnp.take_along_axis(a, i, axis=-1)
+    denom = jnp.maximum(g(cdf, above) - g(cdf, below), 1e-8)
+    frac = (u - g(cdf, below)) / denom
+    return g(edges, below) + frac * (g(edges, above) - g(edges, below))
+
+
+def render_rays_hier(params, static, origins, dirs, key, n_coarse=32,
+                     n_fine=32, near=0.05, far=3.0, bg=1.0, app=None,
+                     contraction=False, stratified=True):
+    """Hierarchical volume rendering: a coarse stratified pass places a
+    second, importance-sampled pass where the mass is (one shared field,
+    queried twice — the nerfacto sampling strategy with static shapes).
+
+    contraction=True treats (origins, dirs) as *normalized world* coords
+    (cameras inside the unit ball), samples linear-in-disparity out to
+    `far`, and maps points through the mipnerf-360 contraction into the
+    hash grid's [0,1]^3 domain — unbounded scenes without clipping.
+    """
+    B = origins.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    s = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_coarse), (B, n_coarse))
+    if stratified:
+        s = s + jax.random.uniform(k1, (B, n_coarse)) / n_coarse
+    if contraction:                     # linear in disparity
+        t_c = 1.0 / (1.0 / near * (1.0 - s) + 1.0 / far * s)
+    else:
+        t_c = near + (far - near) * s
+
+    def to_grid(pts):
+        if contraction:
+            return contract(pts) / 4.0 + 0.5
+        return jnp.clip(pts, 0.0, 1.0)
+
+    def query(t):
+        pts = origins[:, None] + t[..., None] * dirs[:, None]
+        d = jnp.broadcast_to(dirs[:, None], pts.shape)
+        a = None if app is None else \
+            jnp.broadcast_to(app[:, None], (*t.shape, app.shape[-1]))
+        return field_query(params, static, to_grid(pts), d, a)
+
+    sigma_c, rgb_c = query(t_c)
+    _, _, _, w_c = _composite(sigma_c, rgb_c, t_c, far - near, bg)
+
+    t_f = _sample_pdf(k2, t_c, jax.lax.stop_gradient(w_c), n_fine)
+    t = jnp.sort(jnp.concatenate([t_c, t_f], axis=-1), axis=-1)
+    sigma, rgb = query(t)
+    rgb_out, depth, acc, _ = _composite(sigma, rgb, t, far - near, bg)
     return rgb_out, depth, acc
 
 
@@ -218,7 +327,8 @@ def make_optimizer(lr=1e-2, lr_mlp=None):
 
 def render_image(params, static, c2w, intr, hw, n_samples=64, near=0.05,
                  far=3.0, convention="opencv", chunk=4096,
-                 scene_transform=None):
+                 scene_transform=None, hier=False, n_fine=32,
+                 contraction=False, app=None):
     """Render a full image [H, W, 3] by chunked jitted ray batches."""
     rays_o, rays_d = camera_rays(c2w, intr, hw, convention)
     if scene_transform is not None:
@@ -230,6 +340,16 @@ def render_image(params, static, c2w, intr, hw, n_samples=64, near=0.05,
 
     @jax.jit
     def _chunk(p, o, d):
+        if hier:
+            a = None if app is None else \
+                jnp.broadcast_to(jnp.asarray(app), (o.shape[0],
+                                                    len(app)))
+            return render_rays_hier(p, static, o, d,
+                                    jax.random.PRNGKey(0),
+                                    n_coarse=n_samples, n_fine=n_fine,
+                                    near=near, far=far, app=a,
+                                    contraction=contraction,
+                                    stratified=False)
         rgb, depth, acc = render_rays(p, static, o, d,
                                       jax.random.PRNGKey(0),
                                       n_samples=n_samples, near=near,

@@ -199,6 +199,177 @@ def train(images, c2ws, intrs, convention, steps=2000, batch=4096,
                             "near": near, "far": far}
 
 
+def train_refine(images, c2ws, intrs, convention, steps=2000, batch=4096,
+                 n_coarse=32, n_fine=32, levels=8, table_size=2 ** 14,
+                 max_res=256, lr=1e-2, eval_every=500, holdout=8, seed=0,
+                 log=print, app_dim=8, pose_lr=3e-4, pose_reg=0.1,
+                 contraction=False, refine_pose=True, mesh=None,
+                 content_depth=3.0):
+    """The nerfacto-equivalent trainer (the reference trains `ns-train
+    nerfacto`, `nerf_train/nerf_train.py:21-42`): hierarchical sampling,
+    per-image appearance embeddings, learned SE(3) pose refinement, and
+    optional unbounded-scene contraction — rays are generated INSIDE the
+    jitted step from (image, pixel) indices so pose gradients flow.
+
+    Pose refinement matters here specifically: upstream poses come from
+    SLAM, not SfM, so per-frame alignment error is the PSNR bottleneck.
+    Held-out evaluation uses the *unrefined* input poses and a zero
+    appearance embedding; an L2 penalty `pose_reg` anchors the refined
+    poses to the input trajectory so train/eval frames stay registered.
+    Returns (params, static, report dict).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    n_imgs, h, w = images.shape[:3]
+    eval_ids = list(range(holdout - 1, n_imgs, holdout)) or [n_imgs - 1]
+    train_ids = np.asarray([i for i in range(n_imgs)
+                            if i not in eval_ids])
+
+    # scene normalization: cameras + a content point per view
+    pts = [c[:3, 3] for c in c2ws]
+    fwd_sign = -1.0 if convention == "opengl" else 1.0
+    for c in c2ws:
+        pts.append(c[:3, 3] + content_depth * fwd_sign * c[:3, 2])
+    if contraction:
+        # cameras + content inside the unit ball; background contracts
+        pos = np.asarray(pts, np.float64)
+        center = (pos.max(0) + pos.min(0)) / 2.0
+        scale = 0.8 / max(float(np.abs(pos - center).max()), 1e-6)
+        near, far = 0.02, 64.0
+        to_norm = lambda o: (o - center) * scale
+    else:
+        center, scale = ngp.normalize_scene(np.asarray(pts))
+        near, far = 0.02, 1.8
+        to_norm = lambda o: (o - center) * scale + 0.5
+
+    # per-train-image device tensors
+    Rs = jnp.asarray(np.asarray(c2ws)[train_ids, :3, :3], jnp.float32)
+    ts = jnp.asarray(np.stack([to_norm(np.asarray(c)[ :3, 3])
+                               for c in np.asarray(c2ws)[train_ids]]),
+                     jnp.float32)
+    intr_t = jnp.asarray(np.asarray(intrs)[train_ids], jnp.float32)
+    pix = jnp.asarray(images[train_ids].reshape(-1, 3), jnp.float32)
+
+    key = jax.random.PRNGKey(seed)
+    fp, static = ngp.field_init(key, levels=levels,
+                                table_size=table_size, max_res=max_res,
+                                app_dim=app_dim)
+    n_train = len(train_ids)
+    params = {"field": fp,
+              "app": jnp.zeros((n_train, app_dim), jnp.float32),
+              "pose_w": jnp.zeros((n_train, 3), jnp.float32),
+              "pose_t": jnp.zeros((n_train, 3), jnp.float32)}
+
+    import optax
+
+    def label(p):
+        return {"field": {k: ("table" if k == "table" else "mlp")
+                          for k in p["field"]},
+                "app": "mlp", "pose_w": "pose", "pose_t": "pose"}
+
+    tx = optax.multi_transform(
+        {"table": optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15),
+         "mlp": optax.adam(lr * 0.3, b1=0.9, b2=0.99, eps=1e-15),
+         "pose": optax.adam(pose_lr if refine_pose else 0.0)},
+        label)
+    opt_state = tx.init(params)
+
+    batch_spec = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(mesh, PartitionSpec())
+        batch_spec = NamedSharding(mesh, PartitionSpec("dp"))
+        pix, Rs, ts, intr_t = jax.device_put((pix, Rs, ts, intr_t), repl)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+    y_sign = -1.0 if convention == "opengl" else 1.0
+    z_sign = -1.0 if convention == "opengl" else 1.0
+
+    def make_rays(p, idx):
+        """Per-pixel rays with refined poses — differentiable in p."""
+        ii = idx // (h * w)
+        r = idx % (h * w)
+        v = (r // w).astype(jnp.float32) + 0.5
+        u = (r % w).astype(jnp.float32) + 0.5
+        fx, fy, cx, cy = [intr_t[ii, k] for k in range(4)]
+        dcam = jnp.stack([(u - cx) / fx, y_sign * (v - cy) / fy,
+                          z_sign * jnp.ones_like(u)], -1)
+        R = Rs[ii] @ ngp.rodrigues(p["pose_w"][ii])
+        d = jnp.einsum("nij,nj->ni", R, dcam)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = ts[ii] + p["pose_t"][ii]
+        return o, d, pix[idx], p["app"][ii]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params, opt_state, key):
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (batch,), 0, n_train * h * w)
+
+        def loss_fn(p):
+            o, d, target, app = make_rays(p, idx)
+            if batch_spec is not None:
+                o, d, target, app = (
+                    jax.lax.with_sharding_constraint(x, batch_spec)
+                    for x in (o, d, target, app))
+            rgb, _, _ = ngp.render_rays_hier(
+                p["field"], static, o, d, k2, n_coarse=n_coarse,
+                n_fine=n_fine, near=near, far=far, app=app,
+                contraction=contraction)
+            mse = jnp.mean((rgb - target) ** 2)
+            reg = jnp.mean(p["pose_w"] ** 2) + jnp.mean(p["pose_t"] ** 2)
+            return mse + pose_reg * reg, mse
+
+        (loss, mse), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, u: a + u, params,
+                                        updates)
+        return params, opt_state, mse
+
+    zero_app = np.zeros((app_dim,), np.float32)
+
+    def eval_psnr(params):
+        vals = []
+        tr = lambda o, d: (to_norm(o), d)
+        for i in eval_ids:
+            img, _ = ngp.render_image(
+                params["field"], static, c2ws[i], intrs[i], (h, w),
+                n_samples=n_coarse, n_fine=n_fine, near=near, far=far,
+                convention=convention, scene_transform=tr, hier=True,
+                contraction=contraction, app=zero_app)
+            vals.append(psnr(img, images[i]))
+        return float(np.mean(vals))
+
+    psnr0 = eval_psnr(params)
+    log(f"init: held-out PSNR {psnr0:.2f} dB ({n_train} train / "
+        f"{len(eval_ids)} eval views, refine={refine_pose}, "
+        f"contract={contraction})")
+    t0 = time.time()
+    for s in range(1, steps + 1):
+        key, sub = jax.random.split(key)
+        params, opt_state, mse = step_fn(params, opt_state, sub)
+        if s % eval_every == 0 or s == steps:
+            p = eval_psnr(params)
+            log(f"step {s}: mse={float(mse):.5f} psnr={p:.2f} dB "
+                f"({time.time() - t0:.0f}s)")
+    psnr1 = eval_psnr(params)
+    pose_mag = float(np.sqrt(np.mean(
+        np.asarray(params["pose_w"]) ** 2
+        + np.asarray(params["pose_t"]) ** 2)))
+    report = {"metric": "nerf_refine", "steps": steps,
+              "psnr_init": round(psnr0, 3), "psnr": round(psnr1, 3),
+              "pose_delta_rms": round(pose_mag, 5),
+              "train_views": n_train, "eval_views": len(eval_ids),
+              "seconds": round(time.time() - t0, 1)}
+    return params, static, {**report, "center": center, "scale": scale,
+                            "near": near, "far": far}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", type=str, default=None,
@@ -218,6 +389,14 @@ def main(argv=None):
                     help="write a rendered held-out view PNG here")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard ray batches data-parallel over N devices")
+    ap.add_argument("--refine", action="store_true",
+                    help="nerfacto-style trainer: hierarchical sampling, "
+                         "appearance embeddings, pose refinement")
+    ap.add_argument("--contract", action="store_true",
+                    help="unbounded-scene contraction (with --refine)")
+    ap.add_argument("--app_dim", type=int, default=8)
+    ap.add_argument("--pose_lr", type=float, default=3e-4)
+    ap.add_argument("--pose_reg", type=float, default=0.1)
     args = ap.parse_args(argv)
 
     if args.synth or args.data is None:
@@ -233,13 +412,22 @@ def main(argv=None):
 
         mesh = Mesh(np.asarray(jax.devices()[:args.mesh]), ("dp",))
 
-    params, static, rep = train(images, c2ws, intrs, conv,
-                                steps=args.steps, batch=args.batch,
-                                n_samples=args.samples,
-                                levels=args.levels,
-                                table_size=2 ** args.table_log2,
-                                max_res=args.max_res, lr=args.lr,
-                                eval_every=args.eval_every, mesh=mesh)
+    if args.refine:
+        params, static, rep = train_refine(
+            images, c2ws, intrs, conv, steps=args.steps,
+            batch=args.batch, n_coarse=args.samples, levels=args.levels,
+            table_size=2 ** args.table_log2, max_res=args.max_res,
+            lr=args.lr, eval_every=args.eval_every, mesh=mesh,
+            app_dim=args.app_dim, pose_lr=args.pose_lr,
+            pose_reg=args.pose_reg, contraction=args.contract)
+    else:
+        params, static, rep = train(images, c2ws, intrs, conv,
+                                    steps=args.steps, batch=args.batch,
+                                    n_samples=args.samples,
+                                    levels=args.levels,
+                                    table_size=2 ** args.table_log2,
+                                    max_res=args.max_res, lr=args.lr,
+                                    eval_every=args.eval_every, mesh=mesh)
     center, scale = rep.pop("center"), rep.pop("scale")
     near, far = rep.pop("near"), rep.pop("far")
 
@@ -250,12 +438,21 @@ def main(argv=None):
         print("saved field params to", args.save)
     if args.render:
         import cv2
-        tr = lambda o, d: ((o - center) * scale + 0.5, d)
-        img, depth = ngp.render_image(params, static, c2ws[-1], intrs[-1],
+        field = params["field"] if args.refine else params
+        if args.refine and args.contract:
+            tr = lambda o, d: ((o - center) * scale, d)
+        else:
+            tr = lambda o, d: ((o - center) * scale + 0.5, d)
+        img, depth = ngp.render_image(field, static, c2ws[-1], intrs[-1],
                                       images.shape[1:3],
                                       n_samples=args.samples, near=near,
                                       far=far, convention=conv,
-                                      scene_transform=tr)
+                                      scene_transform=tr,
+                                      hier=args.refine,
+                                      contraction=args.contract,
+                                      app=(np.zeros(args.app_dim,
+                                                    np.float32)
+                                           if args.refine else None))
         cv2.imwrite(args.render,
                     cv2.cvtColor((np.clip(img, 0, 1) * 255).astype(np.uint8),
                                  cv2.COLOR_RGB2BGR))
