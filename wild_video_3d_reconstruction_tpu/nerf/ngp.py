@@ -325,6 +325,26 @@ def make_optimizer(lr=1e-2, lr_mlp=None):
         label)
 
 
+@functools.partial(jax.jit, static_argnames=("n_samples", "n_fine",
+                                             "near", "far", "hier",
+                                             "contraction"))
+def _render_chunk(params, static, o, d, app, n_samples, n_fine, near,
+                  far, hier, contraction):
+    """Deterministic chunk renderer, module-level so the compile caches
+    across views and calls (a closure here would recompile per image)."""
+    key = jax.random.PRNGKey(0)
+    if hier:
+        a = None if app is None else \
+            jnp.broadcast_to(app, (o.shape[0], app.shape[-1]))
+        return render_rays_hier(params, static, o, d, key,
+                                n_coarse=n_samples, n_fine=n_fine,
+                                near=near, far=far, app=a,
+                                contraction=contraction,
+                                stratified=False)
+    return render_rays(params, static, o, d, key, n_samples=n_samples,
+                       near=near, far=far, stratified=False)
+
+
 def render_image(params, static, c2w, intr, hw, n_samples=64, near=0.05,
                  far=3.0, convention="opencv", chunk=4096,
                  scene_transform=None, hier=False, n_fine=32,
@@ -338,25 +358,10 @@ def render_image(params, static, c2w, intr, hw, n_samples=64, near=0.05,
     ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))])
     rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))])
 
-    @jax.jit
-    def _chunk(p, o, d):
-        if hier:
-            a = None if app is None else \
-                jnp.broadcast_to(jnp.asarray(app), (o.shape[0],
-                                                    len(app)))
-            return render_rays_hier(p, static, o, d,
-                                    jax.random.PRNGKey(0),
-                                    n_coarse=n_samples, n_fine=n_fine,
-                                    near=near, far=far, app=a,
-                                    contraction=contraction,
-                                    stratified=False)
-        rgb, depth, acc = render_rays(p, static, o, d,
-                                      jax.random.PRNGKey(0),
-                                      n_samples=n_samples, near=near,
-                                      far=far, stratified=False)
-        return rgb, depth, acc
-
-    outs = [_chunk(params, ro[i:i + chunk], rd[i:i + chunk])
+    a = None if app is None else jnp.asarray(app, jnp.float32)
+    outs = [_render_chunk(params, static, ro[i:i + chunk],
+                          rd[i:i + chunk], a, n_samples, n_fine,
+                          float(near), float(far), hier, contraction)
             for i in range(0, n + pad, chunk)]
     rgb = jnp.concatenate([o[0] for o in outs])[:n]
     depth = jnp.concatenate([o[1] for o in outs])[:n]
