@@ -34,6 +34,9 @@ want loop    "$@" && stage loop 1800 bench.py --loop
 want bench384 "$@" && stage bench384 2400 bench.py --config configs/default.yaml --frames 60 --warmup 20
 want numerics "$@" && stage numerics 1800 scripts/tpu_numerics.py
 want approx  "$@" && stage approx 2400 -m wild_video_3d_reconstruction_tpu.eval.pallas_approx --frames 28 --size 192 256
+# native NeRF on device: PSNR + steps/s of the jitted NGP train step
+want nerf    "$@" && stage nerf 2400 -m wild_video_3d_reconstruction_tpu.nerf.train_native --synth --steps 2000 --batch 8192 --eval_every 1000
+want nerfref "$@" && stage nerfref 2400 -m wild_video_3d_reconstruction_tpu.nerf.train_native --synth --steps 2000 --batch 8192 --eval_every 1000 --refine
 # opt-in (not in the default queue): TPU-accelerated synthetic training
 want learn   "$@" && [ $# -gt 0 ] && stage learn 3600 -m wild_video_3d_reconstruction_tpu.eval.learn_synth --steps 2000 --save /tmp/synth_params_tpu
 want sate    "$@" && [ $# -gt 0 ] && stage sate 2400 -m wild_video_3d_reconstruction_tpu.eval.synth_ate --params /tmp/synth_params_tpu/step_2000 --trials 3
