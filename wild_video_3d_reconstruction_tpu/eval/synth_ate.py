@@ -21,7 +21,7 @@ import numpy as np
 
 
 def run(params=None, frames=60, ht=48, wd=64, seed=0, probe_stub=True,
-        path="walk"):
+        path="walk", slam_seed=0):
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +38,7 @@ def run(params=None, frames=60, ht=48, wd=64, seed=0, probe_stub=True,
         KEYFRAME_INDEX=2, MEM=16, GRADIENT_BIAS=False, PALLAS_CORR=False,
         CORR_CHUNK=1024, DEPTH_INIT="median",
         MOTION_PROBE_THRESH=-1.0 if probe_stub else 2.0)
-    slam = DPVO(cfg, params, ht, wd, seed=0)
+    slam = DPVO(cfg, params, ht, wd, seed=slam_seed)
 
     for t in range(frames):
         slam(t, images[t], intrinsics=np.asarray(intr, np.float64))
