@@ -40,4 +40,5 @@ want nerfref "$@" && stage nerfref 2400 -m wild_video_3d_reconstruction_tpu.nerf
 # opt-in (not in the default queue): TPU-accelerated synthetic training
 want learn   "$@" && [ $# -gt 0 ] && stage learn 3600 -m wild_video_3d_reconstruction_tpu.eval.learn_synth --steps 2000 --save /tmp/synth_params_tpu
 want sate    "$@" && [ $# -gt 0 ] && stage sate 2400 -m wild_video_3d_reconstruction_tpu.eval.synth_ate --params /tmp/synth_params_tpu/step_2000 --trials 3
+want suite   "$@" && [ $# -gt 0 ] && stage suite 7200 -m wild_video_3d_reconstruction_tpu.eval.synth_suite --params /tmp/synth_params_tpu/step_2000 --trials 3 --markdown /tmp/tpuq/synth_suite_tpu.md
 echo "=== queue done ==="

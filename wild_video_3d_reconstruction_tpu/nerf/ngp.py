@@ -288,28 +288,6 @@ def render_rays_hier(params, static, origins, dirs, key, n_coarse=32,
     return rgb_out, depth, acc
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "tx"),
-                   donate_argnums=(0, 1))
-def train_step(params, opt_state, static, rays, key, n_samples, tx,
-               near, far):
-    """One Adam step on the photometric MSE of a ray batch.
-
-    rays: [B, 9] = (origin, dir, target_rgb). Returns (params, opt_state,
-    loss). Fully jitted; params/opt_state donated so the hash table stays
-    device-resident.
-    """
-    def loss_fn(p):
-        rgb, _, _ = render_rays(p, static, rays[:, 0:3], rays[:, 3:6],
-                                key, n_samples=n_samples, near=near,
-                                far=far)
-        return jnp.mean((rgb - rays[:, 6:9]) ** 2)
-
-    loss, grads = jax.value_and_grad(loss_fn)(params)
-    updates, opt_state = tx.update(grads, opt_state, params)
-    params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-    return params, opt_state, loss
-
-
 def make_optimizer(lr=1e-2, lr_mlp=None):
     """Adam with the instant-ngp split: high lr + zero weight-decay for
     the hash table, lower lr for the MLPs."""
