@@ -141,3 +141,48 @@ def test_kitti_rel_err_and_ate_scale():
     assert na == n
     assert abs(s - 2.0) < 1e-6
     assert rmse < 1e-9
+
+
+def test_camera_model_translation():
+    """COLMAP camera models -> nerfstudio intrinsics, per the reference
+    formatter's table (`formatter/colmap_utilis.py:38-222`)."""
+    C = colmap_model.Camera
+
+    j = export.camera_intrinsics_json(
+        C(1, "OPENCV", 640, 480,
+          np.array([500., 510., 320., 240., .1, .01, .001, .0002])))
+    assert j["camera_model"] == "OPENCV"
+    assert (j["fl_x"], j["fl_y"]) == (500.0, 510.0)
+    assert (j["k1"], j["k2"], j["p1"], j["p2"]) == (0.1, 0.01, 0.001, 0.0002)
+
+    j = export.camera_intrinsics_json(
+        C(1, "SIMPLE_RADIAL", 640, 480, np.array([500., 320., 240., .05])))
+    assert j["fl_x"] == j["fl_y"] == 500.0
+    assert (j["k1"], j["k2"], j["p1"], j["p2"]) == (0.05, 0.0, 0.0, 0.0)
+
+    j = export.camera_intrinsics_json(
+        C(1, "RADIAL", 640, 480, np.array([500., 320., 240., .05, -.01])))
+    assert (j["k1"], j["k2"]) == (0.05, -0.01)
+
+    j = export.camera_intrinsics_json(
+        C(1, "OPENCV_FISHEYE", 640, 480,
+          np.array([500., 510., 320., 240., .1, .01, .001, .0001])))
+    assert j["camera_model"] == "OPENCV_FISHEYE"
+    assert (j["k1"], j["k2"], j["k3"], j["k4"]) == (0.1, 0.01, 0.001, 0.0001)
+    assert "p1" not in j
+
+    j = export.camera_intrinsics_json(
+        C(1, "RADIAL_FISHEYE", 640, 480,
+          np.array([500., 320., 240., .1, .01])))
+    assert (j["k1"], j["k2"], j["k3"], j["k4"]) == (0.1, 0.01, 0.0, 0.0)
+
+    j = export.camera_intrinsics_json(
+        C(1, "SIMPLE_PINHOLE", 640, 480, np.array([500., 320., 240.])))
+    assert (j["k1"], j["k2"], j["p1"], j["p2"]) == (0.0, 0.0, 0.0, 0.0)
+
+    import pytest
+    for model, n in (("FULL_OPENCV", 12), ("FOV", 5),
+                     ("THIN_PRISM_FISHEYE", 12)):
+        with pytest.raises(ValueError):
+            export.camera_intrinsics_json(
+                C(1, model, 640, 480, np.zeros(n)))

@@ -130,6 +130,50 @@ def save_output_for_colmap(name, poses_c2w, tstamps, points, colors,
     return out
 
 
+# COLMAP camera model -> (single shared focal?, distortion params in COLMAP
+# parameter order after f/cx/cy, nerfstudio camera_model). Layouts follow
+# colmap/src/base/camera_models.h; the translation mirrors the reference
+# formatter (`formatter/colmap_utilis.py:38-222`), which folds every
+# perspective model into nerfstudio OPENCV and every fisheye into
+# OPENCV_FISHEYE, zero-filling absent coefficients.
+_CAMERA_MODELS = {
+    "SIMPLE_PINHOLE": (True, (), "OPENCV"),
+    "PINHOLE": (False, (), "OPENCV"),
+    "SIMPLE_RADIAL": (True, ("k1",), "OPENCV"),
+    "RADIAL": (True, ("k1", "k2"), "OPENCV"),
+    "OPENCV": (False, ("k1", "k2", "p1", "p2"), "OPENCV"),
+    "OPENCV_FISHEYE": (False, ("k1", "k2", "k3", "k4"), "OPENCV_FISHEYE"),
+    "SIMPLE_RADIAL_FISHEYE": (True, ("k1",), "OPENCV_FISHEYE"),
+    "RADIAL_FISHEYE": (True, ("k1", "k2"), "OPENCV_FISHEYE"),
+}
+
+
+def camera_intrinsics_json(cam):
+    """One COLMAP camera -> nerfstudio intrinsics dict (no frames).
+
+    Raises on FULL_OPENCV / FOV / THIN_PRISM_FISHEYE exactly as the
+    reference formatter does (`formatter/colmap_utilis.py:140-220`).
+    """
+    if cam.model not in _CAMERA_MODELS:
+        raise ValueError(f"unsupported camera model {cam.model}")
+    single_f, dist_names, ns_model = _CAMERA_MODELS[cam.model]
+    p = [float(v) for v in cam.params]
+    if single_f:
+        fx = fy = p[0]
+        cx, cy, rest = p[1], p[2], p[3:]
+    else:
+        (fx, fy, cx, cy), rest = p[:4], p[4:]
+    dist = dict.fromkeys(
+        ("k1", "k2", "p1", "p2") if ns_model == "OPENCV"
+        else ("k1", "k2", "k3", "k4"), 0.0)
+    dist.update(zip(dist_names, rest))
+    out = {"fl_x": fx, "fl_y": fy, "cx": cx, "cy": cy,
+           "w": int(cam.width), "h": int(cam.height),
+           "camera_model": ns_model}
+    out.update(dist)
+    return out
+
+
 def colmap_to_transforms_json(cameras, images, frame_range=None):
     """COLMAP model -> nerfstudio transforms dict.
 
@@ -138,20 +182,7 @@ def colmap_to_transforms_json(cameras, images, frame_range=None):
     w2c -> c2w, then OpenCV -> OpenGL (flip y/z rows), then axis swap.
     """
     cam = next(iter(cameras.values()))
-    if cam.model == "PINHOLE":
-        fx, fy, cx, cy = cam.params[:4]
-        dist = {}
-    elif cam.model == "SIMPLE_PINHOLE":
-        fx = fy = cam.params[0]
-        cx, cy = cam.params[1:3]
-        dist = {}
-    elif cam.model in ("SIMPLE_RADIAL", "RADIAL", "OPENCV"):
-        fx, fy, cx, cy = (cam.params[0], cam.params[0], cam.params[1],
-                          cam.params[2]) if cam.model != "OPENCV" else \
-            cam.params[:4]
-        dist = {"k1": float(cam.params[-2]) if len(cam.params) > 4 else 0.0}
-    else:
-        raise ValueError(f"unsupported camera model {cam.model}")
+    intr = camera_intrinsics_json(cam)
 
     frames = []
     for im in sorted(images.values(), key=lambda x: x.name):
@@ -164,12 +195,6 @@ def colmap_to_transforms_json(cameras, images, frame_range=None):
             "transform_matrix": c2w.tolist(),
             "colmap_im_id": im.image_id,
         })
-    out = {
-        "fl_x": float(fx), "fl_y": float(fy),
-        "cx": float(cx), "cy": float(cy),
-        "w": int(cam.width), "h": int(cam.height),
-        "camera_model": "OPENCV",
-        "frames": frames,
-    }
-    out.update(dist)
+    out = dict(intr)
+    out["frames"] = frames
     return out
