@@ -51,10 +51,11 @@ def save_ply(filename, points, colors=None, binary=True):
     with open(filename, "wb") as f:
         f.write(("\n".join(header) + "\n").encode())
         if binary:
-            for i in range(n):
-                f.write(struct.pack("<fff", *points[i]))
-                if has_color:
-                    f.write(struct.pack("<BBB", *colors[i]))
+            rec = np.empty(n, dtype=_ply_dtype(has_color))
+            rec["x"], rec["y"], rec["z"] = points.T
+            if has_color:
+                rec["red"], rec["green"], rec["blue"] = colors.T
+            rec.tofile(f)
         else:
             for i in range(n):
                 row = " ".join(map(str, points[i]))
@@ -62,6 +63,43 @@ def save_ply(filename, points, colors=None, binary=True):
                     row += " " + " ".join(map(str, colors[i]))
                 f.write((row + "\n").encode())
     return filename
+
+
+def _ply_dtype(has_color):
+    fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if has_color:
+        fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    return np.dtype(fields)
+
+
+def load_ply(filename, return_colors=False):
+    """Read back a PLY written by `save_ply` (binary or ascii, xyz +
+    optional uchar rgb). Returns points [N,3] (and colors [N,3] uint8)."""
+    with open(filename, "rb") as f:
+        header, has_color, binary, n = [], False, True, 0
+        while True:
+            line = f.readline().decode().strip()
+            header.append(line)
+            if line.startswith("format"):
+                binary = "binary" in line
+            elif line.startswith("element vertex"):
+                n = int(line.split()[-1])
+            elif line == "property uchar red":
+                has_color = True
+            elif line == "end_header":
+                break
+        if binary:
+            rec = np.fromfile(f, dtype=_ply_dtype(has_color), count=n)
+            pts = np.stack([rec["x"], rec["y"], rec["z"]], -1)
+            clr = (np.stack([rec["red"], rec["green"], rec["blue"]], -1)
+                   if has_color else None)
+        else:
+            data = np.loadtxt(f, ndmin=2)
+            pts = data[:, :3].astype(np.float32)
+            clr = data[:, 3:6].astype(np.uint8) if has_color else None
+    if return_colors:
+        return pts, clr
+    return pts
 
 
 def plot_trajectory(poses_c2w, gt_poses=None, title="", filename="traj.pdf"):

@@ -326,7 +326,7 @@ def _render_chunk(params, static, o, d, app, n_samples, n_fine, near,
 def render_image(params, static, c2w, intr, hw, n_samples=64, near=0.05,
                  far=3.0, convention="opencv", chunk=4096,
                  scene_transform=None, hier=False, n_fine=32,
-                 contraction=False, app=None):
+                 contraction=False, app=None, return_acc=False):
     """Render a full image [H, W, 3] by chunked jitted ray batches."""
     rays_o, rays_d = camera_rays(c2w, intr, hw, convention)
     if scene_transform is not None:
@@ -344,8 +344,12 @@ def render_image(params, static, c2w, intr, hw, n_samples=64, near=0.05,
     rgb = jnp.concatenate([o[0] for o in outs])[:n]
     depth = jnp.concatenate([o[1] for o in outs])[:n]
     h, w = hw
-    return (np.asarray(rgb).reshape(h, w, 3),
-            np.asarray(depth).reshape(h, w))
+    out = (np.asarray(rgb).reshape(h, w, 3),
+           np.asarray(depth).reshape(h, w))
+    if return_acc:
+        acc = jnp.concatenate([o[2] for o in outs])[:n]
+        out = out + (np.asarray(acc).reshape(h, w),)
+    return out
 
 
 def camera_rays(c2w, intr, hw, convention="opencv"):

@@ -432,10 +432,19 @@ def main(argv=None):
     near, far = rep.pop("near"), rep.pop("far")
 
     if args.save:
-        from ..train.trainer import save_checkpoint
-        import jax
-        save_checkpoint(jax.device_get(params), args.save, args.steps)
-        print("saved field params to", args.save)
+        from .render import save_field
+
+        meta = dict(
+            refine=bool(args.refine), contract=bool(args.contract),
+            levels=args.levels, table_size=2 ** args.table_log2,
+            max_res=args.max_res,
+            app_dim=args.app_dim if args.refine else 0,
+            n_train=(int(params["app"].shape[0]) if args.refine else 0),
+            center=np.asarray(center).tolist(), scale=float(scale),
+            near=float(near), far=float(far), convention=conv,
+            samples=args.samples)
+        save_field(params, meta, args.save, args.steps)
+        print("saved field params + meta to", args.save)
     if args.render:
         import cv2
         field = params["field"] if args.refine else params
