@@ -12,7 +12,6 @@ framework's (tx ty tz qx qy qz qw) layout (the output of `DPVO.terminate`).
 from __future__ import annotations
 
 import json
-import struct
 from pathlib import Path
 
 import numpy as np
