@@ -93,3 +93,22 @@ def test_edge_sharded_correlation_matches_unsharded():
     out = np.asarray(sharded_patch_corr(mesh, gmap, (f1, f2), coords, kk,
                                         jjj, valid, chunk=32))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_optimizer_schedule():
+    """make_optimizer(steps=N) warms up then decays; endpoints at lr/20."""
+    from wild_video_3d_reconstruction_tpu.parallel.train_step import (
+        make_optimizer)
+
+    tx = make_optimizer(lr=1e-3, steps=100)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    deltas = []
+    for _ in range(100):
+        upd, state = tx.update(g, state, params)
+        deltas.append(float(jnp.abs(upd["w"]).max()))
+    # warmup: first step tiny vs peak; decay: final step well below peak
+    assert deltas[0] < max(deltas) / 3
+    assert deltas[-1] < max(deltas) / 3
+    assert max(deltas) == pytest.approx(1e-3, rel=0.3)

@@ -90,7 +90,7 @@ def main(steps=200, batch=4, eval_clips=8, lr=3e-4, seed=0, frames=6,
     print("random init:", before, flush=True)
 
     step_fn, params, opt_state = build_train_step(
-        mesh, params0, tc, optimizer=make_optimizer(lr=lr))
+        mesh, params0, tc, optimizer=make_optimizer(lr=lr, steps=steps))
     t0 = time.time()
     for s in range(steps):
         b = make_world_batch(seed * 1000 + s, batch, tc, ht=ht, wd=wd)
@@ -102,6 +102,9 @@ def main(steps=200, batch=4, eval_clips=8, lr=3e-4, seed=0, frames=6,
                   f"flow={float(metrics['flow_loss']):.4f} "
                   f"pose={float(metrics['pose_loss']):.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if save and s and s % 100 == 0:
+            from ..train.trainer import save_checkpoint
+            save_checkpoint(jax.device_get(params), save, s)
 
     if save:
         from ..train.trainer import save_checkpoint

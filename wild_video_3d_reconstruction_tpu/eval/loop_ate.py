@@ -53,15 +53,16 @@ def revisit_gap(poses, tstamps, T):
     return float(np.median(gaps) / extent) if gaps else float("nan")
 
 
-def run(frames, intr, ht, wd, loop, lc_kw):
+def run(frames, intr, ht, wd, loop, lc_kw, params=None, cfg_kw=None):
     from ..loop.longterm import LongTermLoopClosure
     from ..slam import DPVO
     from ..utils.config import load_config
 
     cfg = load_config(None, BUFFER_SIZE=len(frames) + 8,
                       loop_enabled=loop, PATCHES_PER_FRAME=8,
-                      KEYFRAME_THRESH=0.0, **lc_kw)  # keep every frame
-    slam = DPVO(cfg, None, ht, wd, seed=0)
+                      KEYFRAME_THRESH=0.0, **(cfg_kw or {}),
+                      **lc_kw)  # keep every frame
+    slam = DPVO(cfg, params, ht, wd, seed=0)
     lc = None
     if loop:
         lc = LongTermLoopClosure(cfg, slam)
@@ -79,22 +80,49 @@ def main():
     ap.add_argument("--shift", type=int, default=10)
     ap.add_argument("--size", type=int, nargs=2, default=(96, 128))
     ap.add_argument("--retr-thresh", type=float, default=0.8)
+    ap.add_argument("--render", action="store_true",
+                    help="rendered 3D out-and-back world (real parallax "
+                         "at revisits) instead of the 2D pan texture")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--params", type=str, default=None,
+                    help="orbax checkpoint dir with trained VONet params")
     args = ap.parse_args()
 
     ht, wd = args.size
-    frames = build_frames(args.frames, args.shift, ht, wd)
-    intr = np.array([wd * 0.8, wd * 0.8, wd / 2, ht / 2])
+    cfg_kw = {}
+    if args.render:
+        from ..train.synth import render_sequence
+        images, _, intr4 = render_sequence(args.seed, frames=args.frames,
+                                           ht=ht, wd=wd, path="outback",
+                                           n_planes=3)
+        frames = [images[t] for t in range(args.frames)]
+        intr = np.asarray(intr4, np.float64)
+        cfg_kw = {"DEPTH_INIT": "median", "MEM": 16}
+    else:
+        frames = build_frames(args.frames, args.shift, ht, wd)
+        intr = np.array([wd * 0.8, wd * 0.8, wd / 2, ht / 2])
+    params = None
+    if args.params:
+        import jax
+
+        from ..models.vonet import init_vonet
+        from ..train.trainer import load_checkpoint
+        params = load_checkpoint(args.params,
+                                 init_vonet(jax.random.PRNGKey(0)))
     lc_kw = {"LOOP_RETR_THRESH": args.retr_thresh,
              "LOOP_CLOSE_WINDOW_SIZE": 1, "LC_INTERVAL": 8,
              "LOOP_SKIP_WINDOW": max(8, args.frames // 5)}
 
-    p0, t0, _ = run(frames, intr, ht, wd, loop=False, lc_kw={})
+    p0, t0, _ = run(frames, intr, ht, wd, loop=False, lc_kw={},
+                    params=params, cfg_kw=cfg_kw)
     g0 = revisit_gap(p0, t0, args.frames)
-    p1, t1, n_lc = run(frames, intr, ht, wd, loop=True, lc_kw=lc_kw)
+    p1, t1, n_lc = run(frames, intr, ht, wd, loop=True, lc_kw=lc_kw,
+                       params=params, cfg_kw=cfg_kw)
     g1 = revisit_gap(p1, t1, args.frames)
 
     print(json.dumps({
         "metric": "revisit_gap_median_rel",
+        "render": bool(args.render),
         "no_loop": round(g0, 4),
         "with_loop": round(g1, 4),
         "closures_fired": int(n_lc),

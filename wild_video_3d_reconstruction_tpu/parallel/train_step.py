@@ -20,7 +20,19 @@ from ..train.loss import total_loss
 from . import mesh as mesh_lib
 
 
-def make_optimizer(lr=8e-5, wd=1e-5, clip=10.0):
+def make_optimizer(lr=8e-5, wd=1e-5, clip=10.0, steps=None, warmup_frac=0.05):
+    """AdamW with global-norm clipping.
+
+    With `steps` given, `lr` becomes the peak of a linear-warmup +
+    cosine-decay schedule (warmup over `warmup_frac` of the run, decay to
+    lr/20) — the shape of the reference training recipe's one-cycle
+    schedule. Without it, constant lr.
+    """
+    if steps is not None:
+        warmup = max(int(steps * warmup_frac), 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=lr / 20, peak_value=lr, warmup_steps=warmup,
+            decay_steps=steps, end_value=lr / 20)
     return optax.chain(
         optax.clip_by_global_norm(clip),
         optax.adamw(lr, weight_decay=wd),

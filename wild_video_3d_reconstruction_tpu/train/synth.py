@@ -192,7 +192,11 @@ def render_sequence(seed, frames=60, ht=48, wd=64, fx=40.0, fy=40.0,
     path="walk": held-out random walk from the training distribution
     (unseen seeds/scene); path="orbit": bounded sinusoidal sweep — a
     motion pattern the training clips never contain, probing
-    generalization of the learned update operator."""
+    generalization of the learned update operator; path="outback": go
+    out along a smooth jittered line, turn around, and retrace the same
+    waypoints — frame t and frame T-1-t observe the same 3D structure
+    (with genuine parallax during the traverse), which is the geometry
+    loop closure needs (`eval/loop_ate.py`)."""
     rng = np.random.default_rng(seed)
     # texture sized so a walk of `frames` steps stays on texture
     ts = 3 + 2 * (frames // 25)
@@ -211,6 +215,22 @@ def render_sequence(seed, frames=60, ht=48, wd=64, fx=40.0, fy=40.0,
             dR = _so3_exp(rng.normal(0, 0.015, 3))
             Rk = dR @ Rk
             tk = dR @ tk + rng.normal(0, 0.03, 3) + vel
+    elif path == "outback":
+        # waypoints for the outbound half; the return half retraces them
+        # in reverse so revisit pairs (t, T-t) share exact poses — the
+        # pairing `eval.loop_ate.revisit_gap` measures
+        half = frames // 2
+        vel = np.array([0.05, 0.0, 0.01]) * (amp / 0.45)
+        way_t = [np.zeros(3)]
+        way_w = [np.zeros(3)]
+        for k in range(1, half + 1):
+            way_w.append(way_w[-1] + rng.normal(0, 0.008, 3))
+            way_t.append(way_t[-1] + vel + rng.normal(0, 0.01, 3))
+        for k in range(frames):
+            i = k if k <= half else frames - k
+            Rw = _so3_exp(way_w[i])
+            images[k], _ = world.render(Rw, way_t[i])
+            poses[k] = _pose7(Rw, way_t[i])
     else:
         for k in range(frames):
             ph = 2 * np.pi * k / frames
