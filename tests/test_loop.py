@@ -142,6 +142,37 @@ def test_retrieval_protocol():
     assert i == 8 and j == 1  # j clamped to >= 1
 
 
+def test_centered_query_desaturates_scores():
+    """A large shared descriptor component saturates raw cosine (~1.0 for
+    every pair); centered scoring must still rank the true revisit first
+    AND separate it from non-matches so a threshold can discriminate."""
+    rng = np.random.default_rng(6)
+    common = rng.normal(size=64)
+    common /= np.linalg.norm(common)
+
+    def desc(key_rng):
+        d = 30.0 * common + key_rng.normal(size=64)
+        return (d / np.linalg.norm(d)).astype(np.float32)
+
+    db = DescriptorDatabase(dim=64)
+    descs = [desc(rng) for _ in range(12)]
+    descs.append(descs[2])  # frame 12 revisits frame 2
+    for n, d in enumerate(descs):
+        db.insert_desc(n, d)
+    # raw cosine of unrelated frames saturates > 0.9
+    assert descs[0] @ descs[5] > 0.9
+    s, j = db.query_online(12, skip_window=3)
+    assert j == 2
+    assert s > 0.9
+    # runner-up (a non-match) must land far below: thresholdable margin
+    runner = max(float((descs[k] - np.mean(descs[:10], axis=0))
+                       @ (descs[12] - np.mean(descs[:10], axis=0)) /
+                       (np.linalg.norm(descs[k] - np.mean(descs[:10], 0)) *
+                        np.linalg.norm(descs[12] - np.mean(descs[:10], 0))))
+                 for k in range(10) if k != 2)
+    assert runner < 0.6
+
+
 def test_vlad_descriptor_similarity():
     vlad = VLADDescriptor(num_clusters=8, feat_dim=16)
     rng = np.random.default_rng(5)

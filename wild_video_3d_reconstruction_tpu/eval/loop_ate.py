@@ -97,7 +97,13 @@ def main():
                                            n_planes=3)
         frames = [images[t] for t in range(args.frames)]
         intr = np.asarray(intr4, np.float64)
-        cfg_kw = {"DEPTH_INIT": "median", "MEM": 16}
+        # MIN_NUM_INLIERS=30 assumes full-res images with thousands of
+        # detected keypoints; the tiny rendered frames top out at ~40
+        # triplet trajectories, so scale the requirement down with them.
+        # LOOP_KP_STRIDE=4 widens the triangulation baseline: depth error
+        # ~ z^2/(f*b) and the wide-FOV renders have small f and per-frame b
+        cfg_kw = {"DEPTH_INIT": "median", "MEM": 16,
+                  "LOOP_MIN_INLIERS": 12, "LOOP_KP_STRIDE": 4}
     else:
         frames = build_frames(args.frames, args.shift, ht, wd)
         intr = np.array([wd * 0.8, wd * 0.8, wd / 2, ht / 2])
@@ -109,9 +115,13 @@ def main():
         from ..train.trainer import load_checkpoint
         params = load_checkpoint(args.params,
                                  init_vonet(jax.random.PRNGKey(0)))
+    # skip window: exclude the temporally-smooth neighborhood (reference
+    # value 50 on thousand-frame sequences ~ half the revisit period; for
+    # the short out-and-back worlds use just under half the sequence)
+    skip = args.frames // 2 - 4 if args.render else max(8, args.frames // 5)
     lc_kw = {"LOOP_RETR_THRESH": args.retr_thresh,
              "LOOP_CLOSE_WINDOW_SIZE": 1, "LC_INTERVAL": 8,
-             "LOOP_SKIP_WINDOW": max(8, args.frames // 5)}
+             "LOOP_SKIP_WINDOW": skip}
 
     p0, t0, _ = run(frames, intr, ht, wd, loop=False, lc_kw={},
                     params=params, cfg_kw=cfg_kw)

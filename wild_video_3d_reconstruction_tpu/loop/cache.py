@@ -62,12 +62,19 @@ class ImageCache:
         self._pending.clear()
 
     def load_frames(self, indices):
-        """Decode cached frames -> [len(indices), H, W, 3] uint8 (BGR)."""
+        """Decode cached frames -> [len(indices), H, W, 3] uint8 (BGR).
+
+        Frames not yet committed by `save_up_to` (possible for the wide
+        end of a LOOP_KP_STRIDE>1 triplet) are served raw from the
+        deferred buffer."""
         self.flush()
         out = []
         for i in indices:
-            data = np.frombuffer(self.saved[i], np.uint8)
-            out.append(cv2.imdecode(data, cv2.IMREAD_COLOR))
+            if i in self.saved:
+                data = np.frombuffer(self.saved[i], np.uint8)
+                out.append(cv2.imdecode(data, cv2.IMREAD_COLOR))
+            else:
+                out.append(np.asarray(self.buffer[i], np.uint8))
         return np.stack(out)
 
     def close(self):

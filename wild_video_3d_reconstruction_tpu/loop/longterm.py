@@ -99,13 +99,22 @@ class LongTermLoopClosure:
 
     # ------------------------------------------------- keypoint triangulation
     def estimate_3d_keypoints(self, i):
-        """Detect/match/triangulate on the (i-1, i, i+1) triplet.
+        """Detect/match/triangulate on the (i-s, i, i+s) triplet.
 
         Returns (points [N,3] in frame-i camera coords, features dict).
         Mirrors `long_term.py:72-140` with the structure-only BA expressed
         through the shared `bundle_adjust` (t0 == t1 -> depth-only solve).
+        The reference hard-codes s=1 (consecutive keyframes); triangulated
+        depth error scales as z^2/(f*baseline), so slow sequences need a
+        wider triplet — LOOP_KP_STRIDE widens it without touching the
+        rest of the chain.
         """
-        images = self.imcache.load_frames([i - 1, i, i + 1])
+        s = max(1, int(getattr(self.cfg, "LOOP_KP_STRIDE", 1)))
+        s = min(s, max(i, 1))          # keep i-s >= 0
+        while s > 1 and not ((i + s) in self.imcache.saved or
+                             (i + s) in self.imcache.buffer):
+            s -= 1                     # forward frame not ingested yet
+        images = self.imcache.load_frames([i - s, i, i + s])
         fmaps = [np.asarray(self._encode(self.slam.params, jnp.asarray(im)))
                  for im in images]
 
@@ -131,6 +140,7 @@ class LongTermLoopClosure:
         traj = traj[traj.min(axis=1) >= 0]
         n_tr = len(traj)
         if n_tr < 8:
+            print(f"  kp[{i}]: only {n_tr} triplet trajectories")
             return np.zeros((0, 3)), None
         a, b, c = traj.T
 
@@ -158,11 +168,11 @@ class LongTermLoopClosure:
         target = np.concatenate([kps0, kps2], axis=0).astype(np.float32)
         weight = np.ones_like(target)
 
-        poses = np.asarray(st.poses[i - 1:i + 2])
+        poses = np.asarray(st.poses)[[i - s, i, i + s]]
         intr = np.asarray(st.intrinsics[i]) * 4.0      # full-res intrinsics
 
-        cfg_ba = BAConfig(window=4, patch_slots=n_tr, iterations=6,
-                  per_patch_cap=2)
+        cfg_ba = BAConfig(window=4, patch_slots=n_tr, iterations=12,
+                          per_patch_cap=2)
         _, patches_out = bundle_adjust(
             jnp.asarray(poses), jnp.asarray(patches), jnp.asarray(intr),
             jnp.asarray(target), jnp.asarray(weight), 1e-3,
@@ -183,22 +193,41 @@ class LongTermLoopClosure:
                                   jnp.tile(jnp.asarray(intr)[None],
                                            (n_tr, 1))))
         pts = X[:, 1, 1, :3] / np.maximum(X[:, 1, 1, 3:], 1e-8)
+        print(f"  kp[{i}]: {n_tr} trajectories, "
+              f"{int(mask.sum())} triangulated <2px "
+              f"(resid p25/50/75 = "
+              f"{np.percentile(max_resid, 25):.2f}/"
+              f"{np.percentile(max_resid, 50):.2f}/"
+              f"{np.percentile(max_resid, 75):.2f}px)")
         return pts[mask], {"xy": kps1[mask], "desc": desc1[mask]}
 
     # ------------------------------------------------------------- closure
     def attempt_loop_closure(self, n):
-        cands = self.retrieval.detect_loop(
-            thresh=self.cfg.LOOP_RETR_THRESH,
-            num_repeat=self.cfg.LOOP_CLOSE_WINDOW_SIZE)
+        # The reference runs detection once per frame (`lc_callback`,
+        # `long_term.py:194`); the async design batches LC work every
+        # LC_INTERVAL frames, so ONE detection per call would drain the
+        # pending-query queue slower than it fills and starve real loop
+        # candidates behind early false ones. Drain it, verifying up to
+        # `budget` candidates (geometric verification is the expensive
+        # step), and stop on the first accepted closure — the PGO
+        # rescales state, so stale candidate indices must be re-derived.
         result = False
-        if cands is not None:
+        budget = 4
+        while budget > 0:
+            cands = self.retrieval.detect_loop(
+                thresh=self.cfg.LOOP_RETR_THRESH,
+                num_repeat=self.cfg.LOOP_CLOSE_WINDOW_SIZE)
+            if cands is None:
+                break
+            budget -= 1
             i, j = cands
             print(f"Attempting loop closure with ({i}, {j})")
             result = self.close_loop(i, j, n)
             self.lc_count += int(result)
+            self.retrieval.found.clear()
             if result:
                 self.retrieval.confirm_loop(i, j)
-            self.retrieval.found.clear()
+                break
         self.retrieval.save_up_to(n - self.cfg.REMOVAL_WINDOW - 2)
         self.imcache.save_up_to(n - self.cfg.REMOVAL_WINDOW - 1)
         return result
@@ -209,12 +238,21 @@ class LongTermLoopClosure:
         if i_feat is None or j_feat is None:
             return False
 
-        th = 20.0   # far-away points don't constrain similarity
-        isel = i_pts[:, 2] < th
-        jsel = j_pts[:, 2] < th
+        # Far-away points don't constrain similarity. The reference drops
+        # z > 20 in its normalized map scale (`long_term.py:107-110`); a
+        # monocular map's scale is arbitrary, so express the cut relative
+        # to each point set's own median depth instead of absolutely.
+        min_inl = getattr(self.cfg, "LOOP_MIN_INLIERS", MIN_NUM_INLIERS)
+        th_i = 8.0 * max(float(np.median(i_pts[:, 2])), 1e-6) \
+            if len(i_pts) else 0.0
+        th_j = 8.0 * max(float(np.median(j_pts[:, 2])), 1e-6) \
+            if len(j_pts) else 0.0
+        isel = (i_pts[:, 2] > 0) & (i_pts[:, 2] < th_i)
+        jsel = (j_pts[:, 2] > 0) & (j_pts[:, 2] < th_j)
         i_pts, j_pts = i_pts[isel], j_pts[jsel]
-        if i_pts.shape[0] < MIN_NUM_INLIERS or \
-                j_pts.shape[0] < MIN_NUM_INLIERS:
+        if i_pts.shape[0] < min_inl or j_pts.shape[0] < min_inl:
+            print(f"loop rejected: {i_pts.shape[0]}/{j_pts.shape[0]} "
+                  f"near points")
             return False
 
         di = jnp.asarray(i_feat["desc"][isel])
@@ -225,18 +263,27 @@ class LongTermLoopClosure:
         i_ind, j_ind, ok = map(np.asarray, (i_ind, j_ind, ok))
         src = i_pts[i_ind[ok]].astype(np.float64)
         dst = j_pts[j_ind[ok]].astype(np.float64)
-        if src.shape[0] < MIN_NUM_INLIERS:
+        if src.shape[0] < min_inl:
+            print(f"loop rejected: {src.shape[0]} cross-matches")
             return False
 
+        # reference: absolute threshold 0.5 (`long_term.py:246`), which at
+        # its normalized map scale (median depth ~5) is ~0.1x the median
+        # depth; keep that ratio so the gate is monocular-scale-invariant
+        med_d = float(np.median(dst[:, 2]))
         R, t, s, n_inl = ransac_umeyama(src, dst, iterations=400,
-                                        threshold=0.5)
-        if n_inl < MIN_NUM_INLIERS:
+                                        threshold=max(0.1 * med_d, 1e-6))
+        if n_inl < min_inl:
             print(f"loop rejected: {n_inl} inliers")
             return False
 
         # measured Sim3 (j <- i) + the retained relative poses of past loops
         q = lie.matrix_to_quat(jnp.asarray(R))
         meas = np.concatenate([t, np.asarray(q), [s]]).astype(np.float32)
+        ang = float(np.degrees(np.arccos(
+            np.clip((np.trace(R) - 1) / 2, -1, 1))))
+        print(f"loop accepted ({i},{j}): {n_inl} inliers, "
+              f"s={s:.3f} |t|={np.linalg.norm(t):.3f} rot={ang:.1f}deg")
 
         st = self.slam.state
         # optimize over every keyframe the DEVICE has (in async mode the

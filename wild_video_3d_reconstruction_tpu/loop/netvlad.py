@@ -71,25 +71,47 @@ class DescriptorDatabase:
     """
 
     def __init__(self, dim, capacity=100000, cache_dir=None,
-                 cache_key=None):
+                 cache_key=None, center=True):
         self.descs = np.zeros((capacity, dim), np.float32)
         self.has = np.zeros(capacity, bool)
         self.cache_dir = cache_dir
         self.cache_key = cache_key
+        self.center = center
 
     def insert_desc(self, n, desc):
         self.descs[n] = desc
         self.has[n] = True
 
     def query_online(self, n, skip_window=50, top_k=1):
-        """Best match among frames older than n - skip_window."""
+        """Best match among frames older than n - skip_window.
+
+        Scores are centered cosine: the mean database descriptor is
+        subtracted before comparison. VLAD descriptors of a
+        self-similar scene share a large common component that
+        saturates raw cosine near 1.0 for *every* pair (measured
+        0.999+ across whole synthetic sequences), making the retrieval
+        threshold useless; centering is the standard fix (cf. the
+        PCA-whitening stage of NetVLAD's own pipeline, which the hloc
+        extractor in `dpvo/netvlad_retrieval.py:63-88` relies on)."""
         hi = n - skip_window
         if hi <= 0:
             return None, None
         cand = np.where(self.has[:hi])[0]
         if cand.size == 0:
             return None, None
-        scores = self.descs[cand] @ self.descs[n]
+        q, db = self.descs[n], self.descs[cand]
+        if self.center:
+            # mean over db + query: with very few entries every centered
+            # vector is anti-correlated with the rest, so near-empty
+            # databases self-suppress instead of reporting saturated
+            # raw-cosine scores
+            mu = (db.sum(axis=0) + q) / (cand.size + 1)
+            q = q - mu
+            db = db - mu
+            q = q / max(float(np.linalg.norm(q)), 1e-8)
+            db = db / np.maximum(
+                np.linalg.norm(db, axis=1, keepdims=True), 1e-8)
+        scores = db @ q
         order = np.argsort(scores)[::-1][:top_k]
         return scores[order[0]], int(cand[order[0]])
 

@@ -82,6 +82,13 @@ class DPVOConfig:
     # retrieval ignores frames newer than this when querying (the
     # reference hard-codes SKIP_WINDOW=50, `retrieval_netvlad.py:26`)
     LOOP_SKIP_WINDOW: int = 50
+    # minimum 3D-3D correspondences at every loop-verification gate (the
+    # reference hard-codes 30 for full-res DISK+LightGlue keypoint counts,
+    # `long_term.py:246-250`; scale down with small images)
+    LOOP_MIN_INLIERS: int = 30
+    # triangulation triplet (i-s, i, i+s); the reference hard-codes s=1
+    # (`long_term.py:84-89`) — widen on slow sequences for baseline
+    LOOP_KP_STRIDE: int = 1
 
     def merge_from_file(self, path):
         import yaml
