@@ -74,8 +74,29 @@ def detect(image, num_keypoints=1024, nms_radius=4):
 
     flat = resp.reshape(-1)
     score, idx = jax.lax.top_k(flat, num_keypoints)
-    xy = jnp.stack([(idx % W).astype(jnp.float32),
-                    (idx // W).astype(jnp.float32)], axis=-1)
+    xi = (idx % W).astype(jnp.int32)
+    yi = (idx // W).astype(jnp.int32)
+
+    # sub-pixel refinement: 1-D quadratic fit through the unsuppressed
+    # response along each axis (the reference's DISK detector is
+    # sub-pixel; integer corners alone cost ~0.3 px RMS per observation,
+    # visible in the loop-closure triangulation residuals). NMS zeroes
+    # neighbours, so sample the smoothed pre-NMS response.
+    raw = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+
+    def _peak_offset(m, p, c):
+        denom = m - 2.0 * c + p
+        off = jnp.where(jnp.abs(denom) > 1e-9,
+                        0.5 * (m - p) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    c = raw[yi, xi]
+    dx = _peak_offset(raw[yi, jnp.maximum(xi - 1, 0)],
+                      raw[yi, jnp.minimum(xi + 1, W - 1)], c)
+    dy = _peak_offset(raw[jnp.maximum(yi - 1, 0), xi],
+                      raw[jnp.minimum(yi + 1, H - 1), xi], c)
+    xy = jnp.stack([xi.astype(jnp.float32) + dx,
+                    yi.astype(jnp.float32) + dy], axis=-1)
     return xy, score
 
 

@@ -89,6 +89,10 @@ class DPVOConfig:
     # triangulation triplet (i-s, i, i+s); the reference hard-codes s=1
     # (`long_term.py:84-89`) — widen on slow sequences for baseline
     LOOP_KP_STRIDE: int = 1
+    # max reprojection residual (px) for a triangulated loop keypoint (the
+    # reference hard-codes 2.0, `long_term.py:134`; the achievable floor
+    # scales with VO pose error and image resolution)
+    LOOP_RESID_THRESH: float = 2.0
 
     def merge_from_file(self, path):
         import yaml
