@@ -270,10 +270,20 @@ def train_refine(images, c2ws, intrs, convention, steps=2000, batch=4096,
                           for k in p["field"]},
                 "app": "mlp", "pose_w": "pose", "pose_t": "pose"}
 
+    # pose lr: frozen while the field is still random (joint optimization
+    # from a random field lets poses wander), then cosine-decayed. Held-out
+    # eval renders from the UNREFINED poses, so pose updates must stay
+    # registered to the input trajectory — see the gauge projection below.
+    warmup = max(steps // 10, 1)
+    pose_sched = optax.join_schedules(
+        [optax.constant_schedule(0.0),
+         optax.cosine_decay_schedule(pose_lr, max(steps - warmup, 1),
+                                     alpha=0.1)],
+        [warmup]) if refine_pose else optax.constant_schedule(0.0)
     tx = optax.multi_transform(
         {"table": optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15),
          "mlp": optax.adam(lr * 0.3, b1=0.9, b2=0.99, eps=1e-15),
-         "pose": optax.adam(pose_lr if refine_pose else 0.0)},
+         "pose": optax.adam(pose_sched)},
         label)
     opt_state = tx.init(params)
 
@@ -329,6 +339,13 @@ def train_refine(images, c2ws, intrs, convention, steps=2000, batch=4096,
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda a, u: a + u, params,
                                         updates)
+        # gauge projection: remove the common-mode pose delta each step.
+        # A global shift/rotation of all training cameras is invisible to
+        # the photometric loss (the field absorbs it) but de-registers the
+        # field from the unrefined held-out poses; small-angle mean removal
+        # pins the refined trajectory's gauge to the input trajectory.
+        params["pose_t"] = params["pose_t"] - params["pose_t"].mean(0)
+        params["pose_w"] = params["pose_w"] - params["pose_w"].mean(0)
         return params, opt_state, mse
 
     zero_app = np.zeros((app_dim,), np.float32)
