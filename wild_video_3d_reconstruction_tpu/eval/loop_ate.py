@@ -84,29 +84,15 @@ def main():
                     help="rendered 3D out-and-back world (real parallax "
                          "at revisits) instead of the 2D pan texture")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="number of world seeds (starting at --seed); "
+                         "reports per-seed rows + medians, matching the "
+                         "suite's median-of-trials protocol")
     ap.add_argument("--params", type=str, default=None,
                     help="orbax checkpoint dir with trained VONet params")
     args = ap.parse_args()
 
     ht, wd = args.size
-    cfg_kw = {}
-    if args.render:
-        from ..train.synth import render_sequence
-        images, _, intr4 = render_sequence(args.seed, frames=args.frames,
-                                           ht=ht, wd=wd, path="outback",
-                                           n_planes=3)
-        frames = [images[t] for t in range(args.frames)]
-        intr = np.asarray(intr4, np.float64)
-        # MIN_NUM_INLIERS=30 assumes full-res images with thousands of
-        # detected keypoints; the tiny rendered frames top out at ~40
-        # triplet trajectories, so scale the requirement down with them.
-        # LOOP_KP_STRIDE=4 widens the triangulation baseline: depth error
-        # ~ z^2/(f*b) and the wide-FOV renders have small f and per-frame b
-        cfg_kw = {"DEPTH_INIT": "median", "MEM": 16,
-                  "LOOP_MIN_INLIERS": 12, "LOOP_KP_STRIDE": 4}
-    else:
-        frames = build_frames(args.frames, args.shift, ht, wd)
-        intr = np.array([wd * 0.8, wd * 0.8, wd / 2, ht / 2])
     params = None
     if args.params:
         import jax
@@ -123,20 +109,50 @@ def main():
              "LOOP_CLOSE_WINDOW_SIZE": 1, "LC_INTERVAL": 8,
              "LOOP_SKIP_WINDOW": skip}
 
-    p0, t0, _ = run(frames, intr, ht, wd, loop=False, lc_kw={},
-                    params=params, cfg_kw=cfg_kw)
-    g0 = revisit_gap(p0, t0, args.frames)
-    p1, t1, n_lc = run(frames, intr, ht, wd, loop=True, lc_kw=lc_kw,
-                       params=params, cfg_kw=cfg_kw)
-    g1 = revisit_gap(p1, t1, args.frames)
+    rows = []
+    for seed in range(args.seed, args.seed + args.seeds):
+        cfg_kw = {}
+        if args.render:
+            from ..train.synth import render_sequence
+            images, _, intr4 = render_sequence(seed, frames=args.frames,
+                                               ht=ht, wd=wd, path="outback",
+                                               n_planes=3)
+            frames = [images[t] for t in range(args.frames)]
+            intr = np.asarray(intr4, np.float64)
+            # MIN_NUM_INLIERS=30 assumes full-res images with thousands of
+            # detected keypoints; the tiny rendered frames top out at ~40
+            # triplet trajectories, so scale the requirement down. KP_
+            # STRIDE=4 widens the triangulation baseline: depth error
+            # ~ z^2/(f*b); the wide-FOV renders have small f and per-frame b
+            cfg_kw = {"DEPTH_INIT": "median", "MEM": 16,
+                      "LOOP_MIN_INLIERS": 12, "LOOP_KP_STRIDE": 4}
+        else:
+            frames = build_frames(args.frames, args.shift, ht, wd,
+                                  seed=seed)
+            intr = np.array([wd * 0.8, wd * 0.8, wd / 2, ht / 2])
 
+        p0, t0, _ = run(frames, intr, ht, wd, loop=False, lc_kw={},
+                        params=params, cfg_kw=cfg_kw)
+        g0 = revisit_gap(p0, t0, args.frames)
+        p1, t1, n_lc = run(frames, intr, ht, wd, loop=True, lc_kw=lc_kw,
+                           params=params, cfg_kw=cfg_kw)
+        g1 = revisit_gap(p1, t1, args.frames)
+        rows.append({"seed": seed, "no_loop": round(g0, 4),
+                     "with_loop": round(g1, 4),
+                     "closures_fired": int(n_lc)})
+        print(json.dumps({"metric": "revisit_gap_seed", **rows[-1]}),
+              flush=True)
+
+    g0s = [r["no_loop"] for r in rows]
+    g1s = [r["with_loop"] for r in rows]
     print(json.dumps({
         "metric": "revisit_gap_median_rel",
         "render": bool(args.render),
-        "no_loop": round(g0, 4),
-        "with_loop": round(g1, 4),
-        "closures_fired": int(n_lc),
-        "improvement": round(g0 - g1, 4),
+        "no_loop": round(float(np.median(g0s)), 4),
+        "with_loop": round(float(np.median(g1s)), 4),
+        "closures_fired": int(sum(r["closures_fired"] for r in rows)),
+        "improvement": round(float(np.median(g0s) - np.median(g1s)), 4),
+        "seeds": len(rows),
     }))
 
 

@@ -83,7 +83,7 @@ def run(params=None, frames=40, ht=48, wd=64, seed=0, nerf_steps=400,
     if refine:
         _, _, rep = train_native.train_refine(
             *data, steps=nerf_steps, batch=2048, n_coarse=32, n_fine=24,
-            table_size=2 ** 13, eval_every=nerf_steps)
+            table_size=2 ** 13, eval_every=nerf_steps, eval_align=True)
     else:
         _, _, rep = train_native.train(*data, steps=nerf_steps,
                                        batch=2048, n_samples=48,
@@ -98,6 +98,7 @@ def run(params=None, frames=40, ht=48, wd=64, seed=0, nerf_steps=400,
     return {"metric": "recon_e2e", "frames": frames,
             "ate_rmse": float(ate), "n_aligned": int(n),
             "psnr_init": rep["psnr_init"], "psnr": rep["psnr"],
+            "psnr_aligned": rep.get("psnr_aligned"),
             "refine": bool(refine),
             "pose_delta_rms": rep.get("pose_delta_rms"),
             "nerf_steps": nerf_steps, "workdir": str(workdir)}
