@@ -1,0 +1,109 @@
+"""The TUM/EuRoC evaluation harness end-to-end on fabricated dataset dirs.
+
+The zero-egress build image has no real datasets, so this fabricates
+byte-exact on-disk layouts (TUM `rgb/<t>.png` + `groundtruth.txt`,
+EuRoC `mav0/cam0/data/<t_ns>.png` + state CSV) from rendered sequences
+with known poses, then runs the ACTUAL `harness.evaluate()` entry point —
+proving the full protocol mechanics of the reference's evaluation drivers
+(`evaluation/dpvo_eva_tum.py:144-197`, `dpvo_eva_euroc.py:145-216`):
+disk streaming, undistortion, crop-to-16, timestamp association, Sim3
+ATE, per-scene median-of-trials. The intrinsics tables are monkeypatched
+to the renderer's camera (zero distortion) — the real tables stay in
+`eval/harness.py` for the day real data exists.
+"""
+
+import cv2
+import numpy as np
+import pytest
+import yaml
+
+import jax.numpy as jnp
+
+from wild_video_3d_reconstruction_tpu.eval import harness
+from wild_video_3d_reconstruction_tpu.ops import lie
+from wild_video_3d_reconstruction_tpu.train.synth import render_sequence
+
+FRAMES = 16
+HT, WD = 48, 64
+
+
+@pytest.fixture(scope="module")
+def rendered():
+    images, w2c, intr = render_sequence(3, frames=FRAMES, ht=HT, wd=WD,
+                                        path="walk")
+    c2w = np.asarray(lie.se3_inv(jnp.asarray(w2c)), np.float64)
+    return np.asarray(images), c2w, np.asarray(intr, np.float64)
+
+
+@pytest.fixture()
+def small_cfg(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(dict(
+        BUFFER_SIZE=64, PATCHES_PER_FRAME=8, REMOVAL_WINDOW=6,
+        OPTIMIZATION_WINDOW=4, PATCH_LIFETIME=3, KEYFRAME_INDEX=2,
+        MEM=12, GRADIENT_BIAS=False, CORR_CHUNK=512, PALLAS_CORR=False,
+        MOTION_PROBE_THRESH=-1.0)))
+    return str(p)
+
+
+def _stub_probe(monkeypatch):
+    # random weights park every frame behind the motion gate; bypass it
+    from wild_video_3d_reconstruction_tpu.slam import dpvo as dpvo_mod
+
+    orig_init = dpvo_mod.DPVO.__init__
+
+    def patched(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        self._probe = lambda *a: 100.0
+
+    monkeypatch.setattr(dpvo_mod.DPVO, "__init__", patched)
+
+
+def test_tum_protocol_on_fabricated_scene(tmp_path, rendered, small_cfg,
+                                          monkeypatch):
+    images, c2w, intr = rendered
+    scene = tmp_path / "rgbd_dataset_freiburg1_synth"
+    (scene / "rgb").mkdir(parents=True)
+    tstamps = 100.0 + np.arange(FRAMES, dtype=np.float64)
+    for t in range(FRAMES):
+        cv2.imwrite(str(scene / "rgb" / f"{tstamps[t]:.6f}.png"),
+                    images[t][..., ::-1])
+    np.savetxt(scene / "groundtruth.txt",
+               np.concatenate([tstamps[:, None], c2w], axis=1),
+               header="t x y z qx qy qz qw")
+
+    monkeypatch.setattr(harness, "TUM_FR1_CALIB",
+                        np.concatenate([intr, np.zeros(5)]))
+    _stub_probe(monkeypatch)
+
+    results = harness.evaluate("tum", tmp_path, None, small_cfg,
+                               trials=1, stride=1, scenes=[scene.name])
+    assert list(results) == [scene.name]
+    assert np.isfinite(results[scene.name])
+
+
+def test_euroc_protocol_on_fabricated_scene(tmp_path, rendered, small_cfg,
+                                            monkeypatch):
+    images, c2w, intr = rendered
+    scene = tmp_path / "MH_99_synth"
+    (scene / "mav0" / "cam0" / "data").mkdir(parents=True)
+    gt_dir = scene / "mav0" / "state_groundtruth_estimate0"
+    gt_dir.mkdir(parents=True)
+    t_ns = (100.0 + np.arange(FRAMES, dtype=np.float64)) * 1e9
+    for t in range(FRAMES):
+        cv2.imwrite(str(scene / "mav0" / "cam0" / "data"
+                        / f"{int(t_ns[t])}.png"), images[t][..., ::-1])
+    # CSV layout: t[ns], p_xyz, q_wxyz (the loader reads only cols :8)
+    q_wxyz = c2w[:, [6, 3, 4, 5]]
+    rows = np.concatenate([t_ns[:, None], c2w[:, :3], q_wxyz], axis=1)
+    np.savetxt(gt_dir / "data.csv", rows, delimiter=",",
+               header="t,px,py,pz,qw,qx,qy,qz")
+
+    monkeypatch.setattr(harness, "EUROC_CALIB",
+                        np.concatenate([intr, np.zeros(4)]))
+    _stub_probe(monkeypatch)
+
+    results = harness.evaluate("euroc", tmp_path, None, small_cfg,
+                               trials=1, stride=1, scenes=[scene.name])
+    assert list(results) == [scene.name]
+    assert np.isfinite(results[scene.name])
