@@ -82,3 +82,26 @@ def test_normalize(slam_with_lc):
     assert abs(float(d.mean()) - 1.0) < 1e-3
     p0 = np.asarray(slam.state.poses[0])
     np.testing.assert_allclose(p0, [0, 0, 0, 0, 0, 0, 1], atol=1e-5)
+
+
+def test_terminate_retargets_last_frame_candidate(slam_with_lc, monkeypatch):
+    """A candidate at the newest keyframe has no forward frame for the
+    (i-s, i, i+s) triplet; terminate() must retarget it to a predecessor
+    instead of crashing on a missing cache entry (found by review:
+    terminate commits frames through n-1, then drains queries up to
+    i = n-1)."""
+    slam, lc = slam_with_lc
+    n = slam.n_host
+    cands = [(n - 1, 1)]
+    monkeypatch.setattr(lc.retrieval, "detect_loop",
+                        lambda **kw: cands.pop() if cands else None)
+    calls = []
+    monkeypatch.setattr(
+        lc, "close_loop",
+        lambda i, j, nn: calls.append((i, j, lc._have_frame(i + 1)))
+        or True)
+    lc.terminate(n)          # must not raise (closes the image cache)
+    assert calls, "last-frame candidate was dropped entirely"
+    i, j, fwd_available = calls[0]
+    assert i < n - 1 and j == 1
+    assert fwd_available

@@ -208,6 +208,9 @@ class LongTermLoopClosure:
         return pts[mask], {"xy": kps1[mask], "desc": desc1[mask]}
 
     # ------------------------------------------------------------- closure
+    def _have_frame(self, i):
+        return i in self.imcache.saved or i in self.imcache.buffer
+
     def attempt_loop_closure(self, n):
         # The reference runs detection once per frame (`lc_callback`,
         # `long_term.py:194`); the async design batches LC work every
@@ -227,6 +230,14 @@ class LongTermLoopClosure:
                 break
             budget -= 1
             i, j = cands
+            # the triplet triangulation needs frame i+1; the newest
+            # keyframe has no forward frame yet (always the case for
+            # candidates drained at terminate) — retarget the closure to
+            # its predecessor, which observed the same revisit
+            while i >= 2 and not self._have_frame(i + 1):
+                i -= 1
+            if not self._have_frame(i + 1) or i <= j:
+                continue
             print(f"Attempting loop closure with ({i}, {j})")
             result = self.close_loop(i, j, n)
             self.lc_count += int(result)

@@ -96,7 +96,7 @@ def reduce_edges(flow_mag, ii, jj, max_num_edges, nms, min_sep=30):
     ignore = np.zeros((Ni, Nj), bool)
     out = []
     for idx in np.argsort(flow_mag):
-        if len(out) > max_num_edges:
+        if len(out) >= max_num_edges:
             break
         i, j, mag = ii[idx], jj[idx], flow_mag[idx]
         if (j - i) < min_sep or mag >= 1000 or ignore[i, j]:

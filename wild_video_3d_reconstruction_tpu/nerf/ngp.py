@@ -258,9 +258,16 @@ def render_rays_hier(params, static, origins, dirs, key, n_coarse=32,
     B = origins.shape[0]
     k1, k2, k3 = jax.random.split(key, 3)
 
-    s = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_coarse), (B, n_coarse))
     if stratified:
-        s = s + jax.random.uniform(k1, (B, n_coarse)) / n_coarse
+        # jitter within each stratum, keeping s in [0, 1): linspace + u/n
+        # would push the last sample past 1, which in contraction mode
+        # crosses the 1/t disparity pole (negative depths, unsorted t_c,
+        # overflowing compositing deltas)
+        s = (jnp.arange(n_coarse) + jax.random.uniform(
+            k1, (B, n_coarse))) / n_coarse
+    else:
+        s = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_coarse),
+                             (B, n_coarse))
     if contraction:                     # linear in disparity
         t_c = 1.0 / (1.0 / near * (1.0 - s) + 1.0 / far * s)
     else:

@@ -67,10 +67,24 @@ def generate_nf_transform(recon_dir, output_dir, start_idx=0,
     have = {f["colmap_im_id"] for f in frames}
     if frames:
         fallback = min(frames, key=lambda f: f["colmap_im_id"])
+        # derive the on-disk naming from a registered image so filled
+        # entries point at real files (datasets are not always 06d.png)
+        import re
+        m = re.fullmatch(r"(.*?)(\d+)(\.[A-Za-z0-9]+)",
+                         fallback["file_path"].rsplit("/", 1)[-1])
+        if m:
+            num_off = int(m.group(2)) - fallback["colmap_im_id"]
+            width = len(m.group(2))
+
+            def _name(i):
+                return f"{m.group(1)}{i + num_off:0{width}d}{m.group(3)}"
+        else:
+            def _name(i):
+                return f"{i:06d}.png"
         for i in range(max(start_idx, min(have)), max(have)):
             if i not in have:
                 frames.append({
-                    "file_path": f"{image_dir}/{i:06d}.png",
+                    "file_path": f"{image_dir}/{_name(i)}",
                     "transform_matrix": fallback["transform_matrix"],
                     "colmap_im_id": i,
                 })

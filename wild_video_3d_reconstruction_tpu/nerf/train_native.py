@@ -383,12 +383,15 @@ def train_refine(images, c2ws, intrs, convention, steps=2000, batch=4096,
         # a self-consistent but globally shifted registration, so scoring
         # from raw eval poses under-reports field quality. Optimize a
         # per-eval-view SE(3) delta against the FROZEN field, then render.
-        ev_Rs = jnp.asarray(np.asarray(c2ws)[:, :3, :3], jnp.float32)
-        ev_ts = jnp.asarray(np.stack([to_norm(np.asarray(c)[:3, 3])
-                                      for c in c2ws]), jnp.float32)
-        ev_intr = jnp.asarray(np.asarray(intrs), jnp.float32)
-        pix_all = jnp.asarray(images.reshape(len(images), h * w, 3),
-                              jnp.float32)
+        # upload only the holdout views (a long real scene's full pixel
+        # stack can exceed device memory right at the end of training)
+        eidx = np.asarray(eval_ids)
+        ev_Rs = jnp.asarray(np.asarray(c2ws)[eidx, :3, :3], jnp.float32)
+        ev_ts = jnp.asarray(np.stack([to_norm(np.asarray(c2ws[i])[:3, 3])
+                                      for i in eval_ids]), jnp.float32)
+        ev_intr = jnp.asarray(np.asarray(intrs)[eidx], jnp.float32)
+        pix_all = jnp.asarray(
+            images.reshape(len(images), h * w, 3)[eidx], jnp.float32)
         align_tx = optax.adam(2e-3)
 
         @jax.jit
@@ -418,13 +421,13 @@ def train_refine(images, c2ws, intrs, convention, steps=2000, batch=4096,
         vals = []
         tr = lambda o, d: (to_norm(o), d)
         akey = jax.random.PRNGKey(seed + 1)
-        for i in eval_ids:
+        for pos, i in enumerate(eval_ids):
             wt = jnp.zeros(6, jnp.float32)
             opt_s = align_tx.init(wt)
             for _ in range(align_steps):
                 akey, sub = jax.random.split(akey)
                 wt, opt_s = align_step(params["field"], wt, opt_s,
-                                       jnp.asarray(i), sub)
+                                       jnp.asarray(pos), sub)
             wtn = np.asarray(wt, np.float64)
             c2w_i = np.asarray(c2ws[i], np.float64).copy()
             c2w_i[:3, :3] = c2w_i[:3, :3] @ np.asarray(
