@@ -104,8 +104,12 @@ def main():
     elapsed = time.perf_counter() - t_start
     fps = n_timed / elapsed
 
+    import os.path
+    cfg_tag = os.path.splitext(os.path.basename(args.config))[0]
+    tag = {"fast": "fast48", "default": "default384",
+           "mid": "mid192"}.get(cfg_tag, cfg_tag)
     print(json.dumps({
-        "metric": "vo_fps_512x384_fast48" + ("_loop" if args.loop else ""),
+        "metric": f"vo_fps_512x384_{tag}" + ("_loop" if args.loop else ""),
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

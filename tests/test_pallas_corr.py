@@ -97,6 +97,22 @@ def test_pallas_fused_valid_mask():
     assert np.abs(out[0]).max() > 0
 
 
+def test_pallas_large_block_matches_oracle(monkeypatch):
+    """The EB_LARGE (128-edge-block) path used by big edge tables — forced
+    here with a small table by lowering the switch — must match the oracle
+    exactly like the EB=32 path (default config compiles only via this
+    path: the Mosaic SMEM prefetch table scales with grid size)."""
+    monkeypatch.setattr(pallas_corr, "EB_SWITCH", 1)
+    gmap, pyr, coords, kk, jj = make_inputs(jax.random.PRNGKey(6))
+    ref = np.asarray(corr_ops.patch_corr_pyramid(gmap, pyr, coords, kk, jj,
+                                                 radius=3))
+    out = np.asarray(pallas_corr.patch_corr_pyramid_pallas(
+        gmap, pyr, coords, kk, jj))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2, \
+        np.abs(out - ref).max() / scale
+
+
 def test_pallas_out_of_bounds_windows():
     # coords near/over the image border: padded zeros must reproduce the
     # oracle's out-of-bounds semantics

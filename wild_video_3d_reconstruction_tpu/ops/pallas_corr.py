@@ -44,7 +44,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-EB = 32         # edges per kernel block
+EB = 32         # edges per kernel block (small edge tables)
+# Mosaic stages ~256 B of SMEM per grid step for the data-dependent
+# (scalar-prefetch-driven) index maps, and v5e has 1 MB of SMEM total.
+# Large edge tables (default config: 221k-row capacity) must therefore use
+# coarser blocks to keep n_blocks * 256 B * 2 pyramid levels under budget —
+# observed AOT failure: "prefetched SMEM operand 0" at 1.4-3.5 MB with
+# EB=32. 128-edge blocks cut the table 4x; measured compile-clean at
+# E=221184 (both levels).
+EB_LARGE = 128
+EB_SWITCH = 65536  # edge tables at least this large use EB_LARGE
 # The x (sublane) origin is 16-aligned — the bf16 VMEM tile is (16, 128),
 # so coarser alignment makes the per-edge region copies pure tile moves.
 # y is an outer (untiled) dim: unaligned, exact-min origin. The region
@@ -73,7 +82,7 @@ def _corr_kernel(meta_ref, origin_ref, g_ref, fmap_ref, out_ref):
 
     @pl.when(meta_ref[b, 1] == b)
     def _():
-        for e in range(EB):
+        for e in range(g_ref.shape[0]):       # block size (EB or EB_LARGE)
             oy = origin_ref[e, 0]
             ox = pl.multiple_of(origin_ref[e, 1], 16)
             region = fmap_ref[0, pl.ds(oy, RSH), pl.ds(ox, RSW), :]
@@ -103,7 +112,7 @@ def _corr_fused_kernel(meta_ref, origin_ref, rely_ref, cxi_ref, fxi_ref,
 
     @pl.when(meta_ref[b, 1] == b)
     def _():
-        for e in range(EB):
+        for e in range(g_ref.shape[0]):
             oy = origin_ref[e, 0]
             ox = pl.multiple_of(origin_ref[e, 1], 16)
             region = fmap_ref[0, pl.ds(oy, RSH), pl.ds(ox, RSW), :]
@@ -151,7 +160,8 @@ def _surfaces_fused(fmap_pad, block_meta, origin, rely, cxi, fxi, fxf, fyf,
     [n_slots, 8(dy), P16, 8(dx)] bf16 (row/col 7 hold blend wrap garbage).
     """
     F, Hp, Wp, C = fmap_pad.shape
-    n_blocks = n_slots // EB
+    n_blocks = block_meta.shape[0]
+    EB = n_slots // n_blocks
 
     def slot_spec():
         return pl.BlockSpec((EB, P16, 1), lambda b, meta: (meta[b, 1], 0, 0),
@@ -195,14 +205,21 @@ def _surfaces(fmap_pad, block_meta, origin, g, n_slots):
     returns   [n_slots, P16, RN] bf16 surfaces
     """
     F, Hp, Wp, C = fmap_pad.shape
-    n_blocks = n_slots // EB
+    n_blocks = block_meta.shape[0]
+    EB = n_slots // n_blocks
 
+    # NOTE: origin rides VMEM, not SMEM. SMEM-space pallas inputs are staged
+    # in their ENTIRETY ("prefetched SMEM operand"), and at default-config
+    # edge counts [n_slots, 2] int32 x 2 pyramid levels = 1.4-1.8 MB blows
+    # the 1 MB SMEM budget (observed AOT failure on v5e). Per-edge scalar
+    # reads from VMEM cost a vector extract each — 64 per block — which is
+    # noise next to the block's 32 MXU matmuls.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((EB, 2), lambda b, meta: (meta[b, 1], 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((EB, P16, C), lambda b, meta: (meta[b, 1], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hp, Wp, C),
@@ -221,10 +238,10 @@ def _surfaces(fmap_pad, block_meta, origin, g, n_slots):
     )(block_meta, origin, g, fmap_pad)
 
 
-def _bucket_by_frame(jj, n_frames, n_slots, valid=None):
+def _bucket_by_frame(jj, n_frames, n_slots, valid=None, eb=EB):
     """Sort edge ids by target frame and pad each frame group to a multiple
-    of EB. Returns (slot_edge [n_slots] with E = dummy, slot_of_edge [E],
-    block_meta [n_slots/EB, 2] of (frame id, any-valid-edge flag)).
+    of eb. Returns (slot_edge [n_slots] with E = dummy, slot_of_edge [E],
+    block_meta [n_slots/eb, 2] of (frame id, any-valid-edge flag)).
 
     Invalid (capacity-padding) edges sort into a dedicated tail group so
     their blocks carry a zero flag and the kernel skips them — the edge
@@ -245,7 +262,7 @@ def _bucket_by_frame(jj, n_frames, n_slots, valid=None):
     frames = jnp.arange(n_frames + 2)
     bounds = jnp.searchsorted(jj_sorted, frames)
     counts = bounds[1:] - bounds[:-1]
-    aligned = ((counts + EB - 1) // EB) * EB
+    aligned = ((counts + eb - 1) // eb) * eb
     slot_starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                    jnp.cumsum(aligned)[:-1].astype(jnp.int32)])
     rank_starts = bounds[:-1].astype(jnp.int32)
@@ -266,17 +283,17 @@ def _bucket_by_frame(jj, n_frames, n_slots, valid=None):
     # block -> (frame, any-valid-edge flag): frame of the block's first
     # slot (dummy/invalid-only blocks inherit a clipped neighbor, whose
     # fmap fetch hits the pipeline cache and whose compute is skipped)
-    b0 = jnp.arange(n_slots // EB) * EB
+    b0 = jnp.arange(n_slots // eb) * eb
     posb = jnp.clip(jnp.searchsorted(slot_of_sorted, b0), 0, E - 1)
     frame_of_block = jnp.clip(jj_sorted[posb], 0, n_frames - 1
                               ).astype(jnp.int32)
     valid_pad = jnp.concatenate([valid, jnp.zeros((1,), bool)])
     block_live = jnp.any(valid_pad[jnp.clip(slot_edge, 0, E)]
-                         .reshape(-1, EB), axis=1)
+                         .reshape(-1, eb), axis=1)
     # dead blocks alias the previous live block (cummax of live indices);
     # leading dead blocks clamp to 0 and compute garbage that is never
     # gathered — src == b is the kernel's liveness test
-    nb = n_slots // EB
+    nb = n_slots // eb
     src = jnp.maximum(jax.lax.cummax(
         jnp.where(block_live, jnp.arange(nb), -1)), 0).astype(jnp.int32)
     block_meta = jnp.stack([frame_of_block[src], src], axis=-1)
@@ -437,11 +454,14 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
     E, Pp = coords.shape[0], coords.shape[1]
     C = gmap.shape[1]
     F = pyramid[0].shape[0]
+    # coarser blocks above EB_SWITCH keep the Mosaic per-grid-step SMEM
+    # table inside the 1 MB budget (see EB_LARGE note above)
+    eb = EB_LARGE if E >= EB_SWITCH else EB
     # alignment slack for F frame groups plus the invalid-edge tail group
-    n_slots = ((E + EB - 1) // EB) * EB + (F + 1) * EB
+    n_slots = ((E + eb - 1) // eb) * eb + (F + 1) * eb
 
     # bucketing and patch features are shared across pyramid levels
-    bucketing = _bucket_by_frame(jj, F, n_slots, valid=valid)
+    bucketing = _bucket_by_frame(jj, F, n_slots, valid=valid, eb=eb)
     slot_edge, slot_of_edge, _ = bucketing
     g = jnp.moveaxis(gmap[kk], 1, -1).reshape(E, P2, C)
     g = jnp.pad(g, ((0, 1), (0, P16 - P2), (0, 0))).astype(jnp.bfloat16)
