@@ -39,6 +39,9 @@ def main():
                     help="enable async loop closure (measures LC-mode FPS)")
     ap.add_argument("--fused", action="store_true",
                     help="A/B: v2 Pallas kernel (in-kernel extraction)")
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="steady-state frames per lax.scan dispatch "
+                         "(PIPELINE_CHUNK); 1 = per-frame dispatch")
     args = ap.parse_args()
 
     # A dead relay tunnel makes jax.devices() hang forever (observed:
@@ -74,6 +77,7 @@ def main():
     from wild_video_3d_reconstruction_tpu.utils.config import load_config
 
     cfg = load_config(args.config, BUFFER_SIZE=args.buffer,
+                      PIPELINE_CHUNK=args.chunk,
                       **({"loop_enabled": True} if args.loop else {}),
                       **({"PALLAS_FUSED": True} if args.fused else {}))
 
@@ -89,19 +93,43 @@ def main():
     intr = np.array([400.0, 400.0, WD / 2, HT / 2])
     frames = synthetic_frames(args.frames)
 
+    # chunked mode: feed raw numpy — DPVO stacks PIPELINE_CHUNK frames and
+    # makes ONE device transfer + ONE scan dispatch per chunk. Unchunked
+    # mode: upload-ahead double buffering (what io.stream.Prefetcher does
+    # with device_upload=True) so the copy overlaps device compute.
+    dev_frames = None
+    if args.chunk <= 1:
+        dev_frames = [None] * len(frames)
+        dev_frames[0] = jax.device_put(frames[0])
+
     t_start = None
-    n_timed = 0
+    ev_start = 0
     for t, img in enumerate(frames):
-        slam(t, img, intrinsics=intr)
-        if t == args.warmup - 1:
-            # a VALUE fetch is the only true device sync on a relay-attached
-            # TPU (block_until_ready returns immediately there)
+        if dev_frames is None:
+            slam(t, img, intrinsics=intr)
+        else:
+            slam(t, dev_frames[t], intrinsics=intr)
+            dev_frames[t] = None
+            if t + 1 < len(frames):
+                dev_frames[t + 1] = jax.device_put(frames[t + 1])
+        if (t_start is None and t + 1 >= args.warmup
+                and slam.is_initialized and not slam._pending):
+            # start timing on a chunk-flush boundary; a VALUE fetch is the
+            # only true device sync on a relay-attached TPU
+            # (block_until_ready returns immediately there)
             _ = np.asarray(slam.state.poses[:1])
             t_start = time.perf_counter()
-        elif t >= args.warmup:
-            n_timed += 1
+            ev_start = slam._events_dispatched
+    # drain any partial chunk with repeated frames so every counted frame
+    # actually executes before the closing sync
+    extra = 0
+    while slam._pending:
+        slam(len(frames) + extra, frames[extra % len(frames)],
+             intrinsics=intr)
+        extra += 1
     _ = np.asarray(slam.state.poses[:1])
     elapsed = time.perf_counter() - t_start
+    n_timed = slam._events_dispatched - ev_start
     fps = n_timed / elapsed
 
     import os.path

@@ -60,7 +60,11 @@ def main():
         _ = np.asarray(s.poses[0] if hasattr(s, "poses") else s)
 
     def sync_any(x):
-        _ = np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+        # slice ON DEVICE before fetching — np.asarray(leaf).ravel() would
+        # pull the whole tensor through the relay (hundreds of MB for the
+        # correlation output) and time the transfer, not the compute
+        leaf = jax.tree.leaves(x)[0]
+        _ = np.asarray(leaf.ravel()[:1])
 
     # full frame_step
     f_full = slam._frame[(False, False)]

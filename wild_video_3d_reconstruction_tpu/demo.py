@@ -45,7 +45,9 @@ def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
     gen = stream.image_frames(imagedir, depthdir, maskdir, calib, stride,
                               skip, end) if os.path.isdir(imagedir) else \
         stream.video_frames(imagedir, calib, stride, skip)
-    reader = stream.Prefetcher(gen, maxsize=8)
+    # device_upload: the prefetch thread stages frames on the chip so the
+    # host->device copy overlaps the previous frame's compute
+    reader = stream.Prefetcher(gen, maxsize=8, device_upload=True)
 
     slam = None
     visualizer = None

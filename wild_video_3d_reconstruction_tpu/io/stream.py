@@ -90,10 +90,17 @@ def video_frames(videopath, calib, stride=1, skip=0):
 
 
 class Prefetcher:
-    """Bounded-queue background reader over any frame generator."""
+    """Bounded-queue background reader over any frame generator.
 
-    def __init__(self, generator, maxsize=8):
+    With device_upload=True the prefetch thread also stages each image on
+    the accelerator (`jax.device_put`), overlapping the host->device copy
+    (~1.5 ms/frame at 512x384 through the relay tunnel) with the previous
+    frame's compute — the DPVO entry accepts device arrays directly.
+    """
+
+    def __init__(self, generator, maxsize=8, device_upload=False):
         self._q = queue.Queue(maxsize=maxsize)
+        self._upload = device_upload
         self._thread = threading.Thread(target=self._fill,
                                         args=(generator,), daemon=True)
         self._thread.start()
@@ -101,6 +108,10 @@ class Prefetcher:
     def _fill(self, generator):
         try:
             for item in generator:
+                if self._upload and item[1] is not None:
+                    import jax
+                    t, image, depth, mask, intr = item
+                    item = (t, jax.device_put(image), depth, mask, intr)
                 self._q.put(item)
         finally:
             self._q.put(SENTINEL)

@@ -24,6 +24,7 @@ from .state import SLAMState
 
 def save_slam(slam, path):
     """Snapshot a DPVO instance (device state + host bookkeeping)."""
+    slam._flush_pending()          # chunked mode: fold queued frames in
     p = Path(path)
     p.mkdir(parents=True, exist_ok=True)
     arrays, dtypes = {}, {}

@@ -60,7 +60,11 @@ class DPVO:
         # placeholders and (usually constant) intrinsics every frame
         self._zero_dep = jnp.zeros((1, 1), jnp.float32)
         self._zero_msk = self._zero_dep > 0
+        _chunk = max(int(getattr(cfg, "PIPELINE_CHUNK", 1)), 1)
+        self._zero_dep_chunk = jnp.zeros((_chunk, 1, 1), jnp.float32)
+        self._zero_msk_chunk = self._zero_dep_chunk > 0
         self._intr_cache = (None, None)     # (bytes, device array)
+        self._fac_cache = (None, None)      # (float, device scalar)
 
         self.is_initialized = False
         self.counter = 0          # input frames seen
@@ -79,6 +83,12 @@ class DPVO:
         self._lc_pending = None    # (first_event, log_rows, desc_rows)
         self._lc_req_lo = 0
         self._lc_images = {}       # input counter -> image (awaiting replay)
+
+        # steady-state dispatch chunking (cfg.PIPELINE_CHUNK frames per
+        # lax.scan dispatch); pending = host-side rows awaiting a flush
+        self._chunk_size = max(int(getattr(cfg, "PIPELINE_CHUNK", 1)), 1)
+        self._pending = []          # [(img, intr_row, fac, dep, msk)]
+        self._pending_sig = None    # (has_depth, has_mask) of pending rows
 
         self._build_jits()
 
@@ -114,6 +124,19 @@ class DPVO:
                         mask=mask if _m else None,
                         desc_centers=centers)
                 self._frame[(has_depth, has_mask)] = jax.jit(ffn)
+
+        self._chunk = {}
+        if self._chunk_size > 1:
+            for has_depth in (False, True):
+                for has_mask in (False, True):
+                    def cfn(state, params, images, intrs, facs, deps, msks,
+                            _d=has_depth, _m=has_mask):
+                        return steps.chunk_step(
+                            cfg, params, state, images, intrs, facs,
+                            depths=deps if _d else None,
+                            masks=msks if _m else None,
+                            desc_centers=centers)
+                    self._chunk[(has_depth, has_mask)] = jax.jit(cfn)
 
         # chunked event/descriptor-log slicing for the async LC drain
         K = cfg.LC_INTERVAL
@@ -164,7 +187,8 @@ class DPVO:
             if self.n + 1 >= self.cfg.BUFFER_SIZE:
                 raise RuntimeError(
                     "buffer full — increase cfg.BUFFER_SIZE (--buffer)")
-        if self._events_dispatched + 1 >= getattr(self.cfg, "LOG_CAP", 8192):
+        if (self._events_dispatched + len(self._pending) + 1
+                >= getattr(self.cfg, "LOG_CAP", 8192)):
             # JAX clamps out-of-bounds scatters, which would silently
             # corrupt the last event-log row instead of failing loudly
             raise RuntimeError(
@@ -177,36 +201,57 @@ class DPVO:
         # damped-linear timestamp ratio (`dpvo/dpvo.py:808-810`)
         *_, a, b, c = [1] * 3 + self.tlist
         fac = float(c - b) / max(float(b - a), 1e-6)
+        intr_np = np.asarray(intrinsics, dtype=np.float32)
+        sig = (depth is not None, mask is not None)
 
+        if self.is_initialized and not self.sync_mode:
+            # steady state: no host fetches; the PRNG key advances inside
+            # frame_step (state.rng)
+            if self._chunk_size > 1:
+                # accumulate raw rows; one lax.scan dispatch (and one
+                # stacked image upload) per PIPELINE_CHUNK frames
+                if self._pending and self._pending_sig != sig:
+                    self._flush_pending()
+                self._pending_sig = sig
+                self._pending.append((image, intr_np, fac, depth, mask))
+                self.counter += 1
+                if self.loop_closure is not None:
+                    self._lc_images[self.counter - 1] = image
+                if len(self._pending) >= self._chunk_size:
+                    self._flush_pending()
+            else:
+                self._dispatch_one(image, intr_np, fac, depth, mask)
+                self.counter += 1
+                self._events_dispatched += 1
+                if self.loop_closure is not None:
+                    # keep device arrays as-is: np.asarray here would block
+                    # on a device fetch in the hot loop; _replay_events
+                    # converts off the hot path (batched per LC interval)
+                    self._lc_images[self.counter - 1] = image
+            if (self.loop_closure is not None
+                    and self._events_dispatched - self._lc_req_lo
+                    >= self.cfg.LC_INTERVAL):
+                self._lc_sync()
+            return
+
+        # --- device conversions for the warm-up / synchronous path ------
+        # regular streams repeat the same fac, so cache the device scalar
+        # (a scalar upload costs ~0.7 ms through the relay tunnel)
+        if fac != self._fac_cache[0]:
+            self._fac_cache = (fac, jnp.float32(fac))
+        fac_dev = self._fac_cache[1]
         dep = (self._zero_dep if depth is None
                else jnp.asarray(depth, dtype=jnp.float32))
         msk = self._zero_msk if mask is None else jnp.asarray(mask)
         img = jnp.asarray(image)
-        intr_np = np.asarray(intrinsics, dtype=np.float32)
         ib = intr_np.tobytes()
         if ib != self._intr_cache[0]:
             self._intr_cache = (ib, jnp.asarray(intr_np))
         intr = self._intr_cache[1]
-        sig = (depth is not None, mask is not None)
-
-        if self.is_initialized and not self.sync_mode:
-            # steady state: one dispatch, no host fetches; the PRNG key
-            # advances inside frame_step (state.rng)
-            self.state = self._frame[sig](
-                self.state, self.params, img, intr, jnp.float32(fac),
-                dep, msk)
-            self.counter += 1
-            self._events_dispatched += 1
-            if self.loop_closure is not None:
-                self._lc_images[self.counter - 1] = np.asarray(image)
-                if (self._events_dispatched - self._lc_req_lo
-                        >= self.cfg.LC_INTERVAL):
-                    self._lc_sync()
-            return
 
         # --- warm-up / synchronous path ---------------------------------
         self.state = self._insert[sig](
-            self.state, self.params, img, intr, jnp.float32(fac),
+            self.state, self.params, img, intr, fac_dev,
             dep, msk, self.is_initialized)
         self.tstamps[self.n_host] = self.counter
         self.counter += 1
@@ -261,6 +306,57 @@ class DPVO:
         if self.loop_closure is not None and self.is_initialized:
             self.loop_closure.attempt_loop_closure(self.n_host)
 
+    # ------------------------------------------------- chunked dispatching
+    def _dispatch_one(self, image, intr_np, fac, depth, mask):
+        """One steady-state frame_step dispatch (conversions + caches)."""
+        sig = (depth is not None, mask is not None)
+        if fac != self._fac_cache[0]:
+            self._fac_cache = (fac, jnp.float32(fac))
+        dep = (self._zero_dep if depth is None
+               else jnp.asarray(depth, dtype=jnp.float32))
+        msk = self._zero_msk if mask is None else jnp.asarray(mask)
+        img = jnp.asarray(image)
+        ib = intr_np.tobytes()
+        if ib != self._intr_cache[0]:
+            self._intr_cache = (ib, jnp.asarray(intr_np))
+        self.state = self._frame[sig](
+            self.state, self.params, img, self._intr_cache[1],
+            self._fac_cache[1], dep, msk)
+
+    def _flush_pending(self):
+        """Dispatch the accumulated chunk. A full chunk goes through the
+        compiled K-frame scan; a partial tail (terminate / signature
+        change) reuses the single-frame program instead of compiling a
+        second scan shape."""
+        rows, self._pending = self._pending, []
+        if not rows:
+            return
+        K = len(rows)
+        sig = self._pending_sig
+        if K != self._chunk_size:
+            for image, intr_np, fac, depth, mask in rows:
+                self._dispatch_one(image, intr_np, fac, depth, mask)
+                self._events_dispatched += 1
+            return
+        imgs = [r[0] for r in rows]
+        if all(isinstance(i, np.ndarray) for i in imgs):
+            images = jax.device_put(np.stack(imgs))   # one transfer
+        else:
+            images = jnp.stack([jnp.asarray(i) for i in imgs])
+        intrs = jnp.asarray(np.stack([r[1] for r in rows]))
+        facs = jnp.asarray(np.asarray([r[2] for r in rows], np.float32))
+        if sig[0]:
+            deps = jnp.stack([jnp.asarray(r[3], jnp.float32) for r in rows])
+        else:
+            deps = self._zero_dep_chunk
+        if sig[1]:
+            msks = jnp.stack([jnp.asarray(r[4]) for r in rows])
+        else:
+            msks = self._zero_msk_chunk
+        self.state = self._chunk[sig](
+            self.state, self.params, images, intrs, facs, deps, msks)
+        self._events_dispatched += K
+
     # ---------------------------------------------------- log-based replay
     def enable_descriptors(self, vlad):
         """Attach VLAD centers so frame_step logs a global descriptor per
@@ -285,6 +381,8 @@ class DPVO:
             n += 1
             if lc is not None:
                 img = self._lc_images.pop(c, None)
+                if img is not None and not isinstance(img, np.ndarray):
+                    img = np.asarray(img)     # deferred device fetch
                 lc.add_descriptor(n - 1, np.asarray(descs[e], np.float32),
                                   img)
             removed, dP, nan_flag = rows[e, 0], rows[e, 1:8], rows[e, 9]
@@ -345,6 +443,7 @@ class DPVO:
         """Rebuild tstamps/delta from the device event log (async mode)."""
         if self.sync_mode or getattr(self, "_replayed", False):
             return
+        self._flush_pending()
         self._replayed = True
         if self._init_counter is None:      # never initialized
             return
@@ -353,6 +452,7 @@ class DPVO:
     # ------------------------------------------------------------- terminate
     def refine(self, iterations=12):
         """Final refinement updates (`dpvo_demo.py:120-121`)."""
+        self._flush_pending()
         for _ in range(iterations):
             self.state = self._refine_step(self.state, self.params)
 
@@ -387,6 +487,7 @@ class DPVO:
         trajectory on the first pose (`PatchGraph.normalize`,
         `dpvo/patchgraph.py:68-79`); the dropped-frame delta chain is
         rescaled to stay consistent."""
+        self._flush_pending()
         st = self.state
         n = self.n
         M = self.M

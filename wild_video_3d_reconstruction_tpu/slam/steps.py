@@ -555,6 +555,35 @@ def frame_step(cfg, params, state: SLAMState, image, intrinsics, fac,
     return track_and_keyframe(cfg, params, state)
 
 
+def chunk_step(cfg, params, state: SLAMState, images, intrinsics, facs,
+               depths=None, masks=None, desc_centers=None):
+    """`frame_step` scanned over K stacked frames in ONE dispatch.
+
+    Identical math to K single-frame dispatches (the scan body is
+    frame_step itself); exists purely to amortize the per-execute host
+    and relay-RTT overhead on remote-attached TPUs by cfg.PIPELINE_CHUNK.
+
+    images: [K, H, W, 3]; intrinsics: [K, 4]; facs: [K];
+    depths: [K, h, w] or None; masks: [K, h, w] bool or None.
+    """
+    xs = [images, intrinsics, facs]
+    if depths is not None:
+        xs.append(depths)
+    if masks is not None:
+        xs.append(masks)
+
+    def body(st, x):
+        img, intr, fac = x[0], x[1], x[2]
+        dep = x[3] if depths is not None else None
+        msk = x[-1] if masks is not None else None
+        st = frame_step(cfg, params, st, img, intr, fac,
+                        depth=dep, mask=msk, desc_centers=desc_centers)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, tuple(xs))
+    return state
+
+
 def track_step(cfg, params, state: SLAMState):
     """append factors -> update -> keyframe flow metric -> retire old edges.
 

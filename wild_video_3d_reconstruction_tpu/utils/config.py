@@ -58,6 +58,11 @@ class DPVOConfig:
     PALLAS_FUSED: bool = False
     # device-side per-frame event log capacity (>= total input frames)
     LOG_CAP: int = 8192
+    # steady-state frames batched into one lax.scan dispatch (1 = dispatch
+    # per frame). Identical math; amortizes the per-execute host + relay
+    # RTT overhead on remote-attached TPUs. Adds (CHUNK-1) frames of
+    # tracking latency, so keep 1 for live/interactive runs.
+    PIPELINE_CHUNK: int = 1
     # async loop closure: global-descriptor dim (VLAD K*C) and how often
     # the host drains the device descriptor/event logs + attempts closures
     DESC_DIM: int = 2048
