@@ -8,6 +8,9 @@
 set -u
 mkdir -p /tmp/tpuq
 cd "$(dirname "$0")/.."
+# scripts/*.py invocations need the repo root importable (sys.path[0] is
+# scripts/ when running a file path)
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 stage() {
   local name=$1; shift
