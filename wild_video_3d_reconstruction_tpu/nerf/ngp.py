@@ -57,29 +57,42 @@ def hash_encode(x, table, level_res):
 
     x: [..., 3]; table: [L, T, F]; returns [..., L*F] (trilinear blend of
     the 8 hashed corner features at each level).
+
+    TPU layout note: every big intermediate keeps the point count N on the
+    minor (lane) dim. The obvious one-gather formulation materializes
+    [L, N*8, F] with a 2-wide minor dim, which the (8, 128) tile layout
+    pads 64x — observed as a 25 GB HBM allocation at train batch sizes.
+    Here the per-coordinate arrays are [L, N] and the 8 corner gathers
+    pull from a feature-major [L, F, T] table along the last axis, so
+    nothing larger than [L, F, N] exists and it is fully lane-packed.
     """
     L, T, F = table.shape
     lead = x.shape[:-1]
     xf = x.reshape(-1, 3)                                   # [N, 3]
+    N = xf.shape[0]
 
-    # [L, N, 3] scaled per-level coordinates
-    xs = xf[None] * (level_res.astype(jnp.float32)[:, None, None] - 1.0)
-    x0 = jnp.floor(xs)
-    frac = xs - x0                                          # [L, N, 3]
-    x0 = x0.astype(jnp.int32)
+    res = level_res.astype(jnp.float32) - 1.0               # [L]
+    x0 = []
+    frac = []
+    for d in range(3):
+        xs = xf[None, :, d] * res[:, None]                  # [L, N]
+        x0d = jnp.floor(xs)
+        frac.append(xs - x0d)
+        x0.append(x0d.astype(jnp.int32))
 
-    # 8 corner offsets [8, 3]
-    corners = jnp.asarray([[i, j, k] for i in (0, 1) for j in (0, 1)
-                           for k in (0, 1)], dtype=jnp.int32)
-    idx = _hash(x0[:, :, None, :] + corners[None, None], T)  # [L, N, 8]
-    feats = jnp.take_along_axis(
-        table, idx.reshape(L, -1, 1), axis=1).reshape(L, -1, 8, F)
-
-    w = jnp.where(corners[None, None].astype(bool),
-                  frac[:, :, None, :], 1.0 - frac[:, :, None, :])
-    w = jnp.prod(w, axis=-1)                                # [L, N, 8]
-    out = jnp.sum(w[..., None] * feats, axis=2)             # [L, N, F]
-    return jnp.moveaxis(out, 0, 1).reshape(*lead, L * F)
+    table_t = jnp.swapaxes(table, 1, 2)                     # [L, F, T]
+    out = jnp.zeros((L, F, N), table.dtype)
+    for c in range(8):
+        off = ((c >> 2) & 1, (c >> 1) & 1, c & 1)
+        h = jnp.uint32(0)
+        w = jnp.ones((L, N), xf.dtype)
+        for d in range(3):
+            h = h ^ ((x0[d] + off[d]).astype(jnp.uint32) * _PRIMES[d])
+            w = w * (frac[d] if off[d] else 1.0 - frac[d])
+        idx = (h % jnp.uint32(T)).astype(jnp.int32)         # [L, N]
+        f = jnp.take_along_axis(table_t, idx[:, None, :], axis=2)
+        out = out + w[:, None, :] * f                       # [L, F, N]
+    return jnp.transpose(out, (2, 0, 1)).reshape(*lead, L * F)
 
 
 def sh_encode(d):
