@@ -130,7 +130,8 @@ def _edge_system(poses, patches, intr, target, ii, jj, kk, cfg: BAConfig):
 
 
 def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
-                  valid, t0, t1, m_base, cfg: BAConfig, patches_est=None):
+                  valid, t0, t1, m_base, cfg: BAConfig, patches_est=None,
+                  patch_table=None):
     W_, M_ = cfg.window, cfg.patch_slots
     E = ii.shape[0]
 
@@ -157,18 +158,30 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
     oh_i = ((li[:, None] == iw) & oki[:, None]).astype(jnp.float32)  # [E, W]
     oh_j = ((lj[:, None] == iw) & okj[:, None]).astype(jnp.float32)
 
-    def pair_sum(A, oh_r, oh_c):
-        # [W*W, 36] = sum_e (oh_r ⊗ oh_c)[e] * A[e]
-        pair = jnp.einsum("ew,ev->ewv", oh_r, oh_c).reshape(E, W_ * W_)
+    def pair_sum(A, pid, ok):
+        # [W*W, 36] = sum_e onehot(pid)[e] * A[e]. The one-hot comes from a
+        # comparison generated IN PLACE as the matmul's LHS (XLA fuses the
+        # iota-compare into the operand load) — an einsum("ew,ev->ewv")
+        # formulation materializes an [E, W^2] fp32 intermediate instead
+        # (226 MB at default-config edge capacity, read+written 4x per GN
+        # iteration; measured as a leading BA cost).
+        pair = ((pid[:, None] == jnp.arange(W_ * W_)) &
+                ok[:, None]).astype(jnp.float32)
         return jnp.dot(pair.T, A.reshape(E, 36),
                        preferred_element_type=jnp.float32)
 
     Bii = jnp.einsum("eri,erj->eij", wJi, Ji)
     Bij = jnp.einsum("eri,erj->eij", wJi, Jj)
-    Bji = jnp.einsum("eri,erj->eij", wJj, Ji)
     Bjj = jnp.einsum("eri,erj->eij", wJj, Jj)
-    B = (pair_sum(Bii, oh_i, oh_i) + pair_sum(Bij, oh_i, oh_j)
-         + pair_sum(Bji, oh_j, oh_i) + pair_sum(Bjj, oh_j, oh_j))
+    Pii = pair_sum(Bii, li * W_ + li, oki)
+    Pij = pair_sum(Bij, li * W_ + lj, oki & okj)
+    Pjj = pair_sum(Bjj, lj * W_ + lj, okj)
+    # Bji[e] = w Jj^T Ji = Bij[e]^T, accumulated at the transposed pair
+    # (lj, li) — recover it from Pij by swapping both the pair axes and the
+    # inner 6x6 block axes instead of a fourth [E]-wide product.
+    Pji = jnp.transpose(Pij.reshape(W_, W_, 6, 6),
+                        (1, 0, 3, 2)).reshape(W_ * W_, 36)
+    B = Pii + Pij + Pji + Pjj
     B = B.reshape(W_, W_, 6, 6).transpose(0, 2, 1, 3).reshape(6 * W_, 6 * W_)
 
     Eik = jnp.einsum("er,eri->ei", wJz, Ji)        # [E, 6]
@@ -179,8 +192,12 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
     cu = jnp.stack([jnp.sum(wJz * Jz, -1), jnp.sum(wJz * r, -1),
                     mask * valid], -1)                         # [E, 3]
     if cfg.per_patch_cap is not None:
-        # gathered per-patch accumulation: O(M * cap) instead of O(E * M)
-        table = _group_by_patch(q, okq, M_, cfg.per_patch_cap)  # [M, cap]
+        # gathered per-patch accumulation: O(M * cap) instead of O(E * M).
+        # The table is edge-topology-only (loop-invariant across GN
+        # iterations); callers that run several iterations pass it in
+        # precomputed so the E-length argsort happens once per solve.
+        table = patch_table if patch_table is not None else \
+            _group_by_patch(q, okq, M_, cfg.per_patch_cap)      # [M, cap]
         vals = jnp.concatenate([cu, tmp], axis=-1)             # [E, 3+W*6]
         vals = jnp.concatenate(
             [vals, jnp.zeros((1, vals.shape[1]), vals.dtype)], axis=0)
@@ -290,11 +307,19 @@ def _bundle_adjust_impl(poses, patches, intrinsics, target, weight, lam,
     if patches_est is not None:
         patches_est = patches_est.astype(jnp.float32)
 
+    patch_table = None
+    if cfg.per_patch_cap is not None:
+        q = kk - m_base
+        okq = (q >= 0) & (q < cfg.patch_slots)
+        patch_table = _group_by_patch(q, okq, cfg.patch_slots,
+                                      cfg.per_patch_cap)
+
     def body(_, state):
         p, z = state
         return _gn_iteration(p, z, intrinsics, target, weight, lam,
                              ii, jj, kk, valid, t0, t1, m_base, cfg,
-                             patches_est=patches_est)
+                             patches_est=patches_est,
+                             patch_table=patch_table)
 
     poses, patches = jax.lax.fori_loop(0, cfg.iterations, body,
                                        (poses, patches))
