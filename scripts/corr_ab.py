@@ -13,9 +13,13 @@ Run: python -u scripts/corr_ab.py [--config configs/default.yaml]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -29,6 +33,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    try:  # persistent compile cache (same dir bench.py uses)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from wild_video_3d_reconstruction_tpu.ops import projective as pops
     from wild_video_3d_reconstruction_tpu.ops.pallas_corr import \

@@ -186,8 +186,6 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
 
     Eik = jnp.einsum("er,eri->ei", wJz, Ji)        # [E, 6]
     Ejk = jnp.einsum("er,eri->ei", wJz, Jj)
-    tmp = (jnp.einsum("ew,ec->ewc", oh_i, Eik)
-           + jnp.einsum("ew,ec->ewc", oh_j, Ejk)).reshape(E, W_ * 6)
 
     cu = jnp.stack([jnp.sum(wJz * Jz, -1), jnp.sum(wJz * r, -1),
                     mask * valid], -1)                         # [E, 3]
@@ -198,13 +196,29 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
         # precomputed so the E-length argsort happens once per solve.
         table = patch_table if patch_table is not None else \
             _group_by_patch(q, okq, M_, cfg.per_patch_cap)      # [M, cap]
-        vals = jnp.concatenate([cu, tmp], axis=-1)             # [E, 3+W*6]
+        # gather the COMPACT per-edge values (15 floats) and spread the
+        # Eik/Ejk blocks onto their window columns after the gather with a
+        # tiny [M, cap, W] one-hot contraction — gathering a pre-spread
+        # [E, 3 + W*6] row (66 structural zeros of 78) costs ~4x the HBM
+        # traffic at default-config sizes
+        vals = jnp.concatenate([cu, Eik, Ejk], axis=-1)        # [E, 15]
         vals = jnp.concatenate(
             [vals, jnp.zeros((1, vals.shape[1]), vals.dtype)], axis=0)
-        acc = jnp.sum(vals[table], axis=1)                     # [M, 3+W*6]
-        C, u, touched_cnt = acc[:, 0], acc[:, 1], acc[:, 2]
-        Em = acc[:, 3:].T.reshape(W_, 6, M_).reshape(6 * W_, M_)
+        li_m = jnp.concatenate([jnp.where(oki, li, -1),
+                                jnp.full((1,), -1, li.dtype)])
+        lj_m = jnp.concatenate([jnp.where(okj, lj, -1),
+                                jnp.full((1,), -1, lj.dtype)])
+        g = vals[table]                                        # [M, cap, 15]
+        accu = jnp.sum(g[..., :3], axis=1)                     # [M, 3]
+        C, u, touched_cnt = accu[:, 0], accu[:, 1], accu[:, 2]
+        ohi_t = (li_m[table][..., None] == iw).astype(jnp.float32)
+        ohj_t = (lj_m[table][..., None] == iw).astype(jnp.float32)
+        Em_m = (jnp.einsum("mcw,mcd->mwd", ohi_t, g[..., 3:9])
+                + jnp.einsum("mcw,mcd->mwd", ohj_t, g[..., 9:15]))
+        Em = Em_m.transpose(1, 2, 0).reshape(6 * W_, M_)
     else:
+        tmp = (jnp.einsum("ew,ec->ewc", oh_i, Eik)
+               + jnp.einsum("ew,ec->ewc", oh_j, Ejk)).reshape(E, W_ * 6)
         oh_q = ((q[:, None] == jnp.arange(M_)) &
                 okq[:, None]).astype(jnp.float32)              # [E, M]
         Em = jnp.dot(tmp.T, oh_q,

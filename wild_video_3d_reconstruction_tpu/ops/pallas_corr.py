@@ -112,7 +112,11 @@ def _corr_fused_kernel(meta_ref, origin_ref, rely_ref, cxi_ref, fxi_ref,
 
     @pl.when(meta_ref[b, 1] == b)
     def _():
-        for e in range(g_ref.shape[0]):
+        # fori_loop (not an unrolled Python loop): at EB_LARGE=128 the
+        # unrolled body's live temporaries blow the Mosaic kernel stack
+        # (observed 26.9 MB scoped-vmem AOT failure at default-config
+        # capacity); the rolled loop keeps one iteration's worth.
+        def body(e, _):
             oy = origin_ref[e, 0]
             ox = pl.multiple_of(origin_ref[e, 1], 16)
             region = fmap_ref[0, pl.ds(oy, RSH), pl.ds(ox, RSW), :]
@@ -152,6 +156,9 @@ def _corr_fused_kernel(meta_ref, origin_ref, rely_ref, cxi_ref, fxi_ref,
             out = ((1 - fx) * (1 - fy) * t2 + fx * (1 - fy) * t2x
                    + (1 - fx) * fy * t2y + fx * fy * t2xy)
             out_ref[e] = out.astype(jnp.bfloat16)
+            return 0
+
+        jax.lax.fori_loop(0, g_ref.shape[0], body, 0)
 
 
 def _surfaces_fused(fmap_pad, block_meta, origin, rely, cxi, fxi, fxf, fyf,
@@ -186,12 +193,17 @@ def _surfaces_fused(fmap_pad, block_meta, origin, rely, cxi, fxi, fxf, fyf,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((RSH, P16, RSW), jnp.bfloat16)],
     )
+    # VMEM budget: the [EB, P16, 1] offset blocks and the [EB, 8, P16, 8]
+    # out block pad their minor dim to 128 lanes (16-128x inflation), so at
+    # EB_LARGE=128 the kernel's double-buffered block set needs ~27 MB of
+    # scoped vmem (observed AOT requirement 26.94M) — well within v5e's
+    # 128 MB but above the 16 MB default limit.
     return pl.pallas_call(
         _corr_fused_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_slots, 8, P16, 8), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(15e6)),
+            vmem_limit_bytes=int(64e6)),
     )(block_meta, origin, rely, cxi, fxi, fxf, fyf, g, fmap_pad)
 
 
