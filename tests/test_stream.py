@@ -73,3 +73,17 @@ def test_prefetcher_drains(scene):
     out = list(stream.Prefetcher(gen, maxsize=2))
     assert len(out) == 6
     assert out[0][0] == 0 and out[-1][0] == 5
+
+
+def test_prefetcher_propagates_fill_errors():
+    # a generator failure (decode error, dead device upload, ...) must
+    # surface in the consuming thread, not silently truncate the stream
+    def gen():
+        yield (0, np.zeros((16, 16, 3), np.uint8), None, None,
+               np.zeros(4))
+        raise ValueError("boom")
+
+    it = iter(stream.Prefetcher(gen(), maxsize=2))
+    assert next(it)[0] == 0
+    with pytest.raises(RuntimeError, match="prefetch thread failed"):
+        list(it)

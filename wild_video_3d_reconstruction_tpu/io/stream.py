@@ -101,6 +101,14 @@ class Prefetcher:
     def __init__(self, generator, maxsize=8, device_upload=False):
         self._q = queue.Queue(maxsize=maxsize)
         self._upload = device_upload
+        self._err = None
+        if device_upload:
+            # backend discovery must happen on the main thread: plugin
+            # backends (axon relay) refuse to initialize from a worker
+            # thread, and the resulting fill-thread crash would otherwise
+            # look like an empty image directory
+            import jax
+            jax.devices()
         self._thread = threading.Thread(target=self._fill,
                                         args=(generator,), daemon=True)
         self._thread.start()
@@ -113,6 +121,8 @@ class Prefetcher:
                     t, image, depth, mask, intr = item
                     item = (t, jax.device_put(image), depth, mask, intr)
                 self._q.put(item)
+        except BaseException as e:              # surfaced by __iter__
+            self._err = e
         finally:
             self._q.put(SENTINEL)
 
@@ -120,5 +130,8 @@ class Prefetcher:
         while True:
             item = self._q.get()
             if item[0] < 0:
+                if self._err is not None:
+                    raise RuntimeError("prefetch thread failed") \
+                        from self._err
                 return
             yield item
