@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--loop", action="store_true",
                     help="enable async loop closure (measures LC-mode FPS)")
     ap.add_argument("--fused", action="store_true",
-                    help="A/B: v2 Pallas kernel (in-kernel extraction)")
+                    help="A/B: fused Pallas kernel (in-kernel extraction)")
     ap.add_argument("--chunk", type=int, default=8,
                     help="steady-state frames per lax.scan dispatch "
                          "(PIPELINE_CHUNK); 1 = per-frame dispatch")

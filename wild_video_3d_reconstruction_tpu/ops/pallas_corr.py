@@ -92,119 +92,127 @@ def _corr_kernel(meta_ref, origin_ref, g_ref, fmap_ref, out_ref):
             out_ref[e, :, :] = S.astype(jnp.bfloat16)
 
 
-def _corr_fused_kernel(meta_ref, origin_ref, rely_ref, cxi_ref, fxi_ref,
-                       fxf_ref, fyf_ref, g_ref, fmap_ref, out_ref, s3_ref):
-    """Variant 2: correlation matmul + window extraction + bilinear blend
-    fused in one kernel.
+ECH = 16        # edges per extraction chunk (bounds live vector state)
+
+
+def _corr_fused_kernel(meta_ref, origin_ref, offs_ref, g_ref, fmap_ref,
+                       out_ref, s_ref):
+    """Fused correlation: matmul surfaces + window extraction + bilinear
+    blend in one kernel (v3).
 
     The v1 kernel writes the full [P16, RN] correlation surface to HBM
     (512 KB/block) and leaves the 8x8-window extraction to 12 masked XLA
     passes over it; at default-config edge counts that surface is
-    gigabytes of HBM traffic. Here the surface stays in VMEM: the masked
-    static-shift selection (y: 9 shifts on an outer dim, x: 4 coarse + 8
-    fine lane shifts) and the bilinear blend run on registers, and only
-    the blended [8, P16, 8] window block (64 KB -> 8x less out traffic)
-    leaves the kernel. Per-pixel offsets ride in [EB, P16, 1] blocks so
-    pixel sits on the sublane dim and the compare-masks broadcast without
-    relayouts.
+    gigabytes of HBM traffic per frame. Here the surfaces stay in a VMEM
+    scratch: phase 1 is the v1 matmul loop (unrolled — the body is small
+    enough at EB_LARGE), phase 2 runs the masked static-shift selection
+    VECTORIZED across edge chunks in the flat 512-lane surface layout
+    (lane = y*RSW + x), so the per-edge work is pure broadcast-compare
+    selects with no per-edge loop overhead:
+
+      y:  9 shifts of 32*s lanes   -> T[lane = wy*32 + x]
+      x:  4 coarse (8c) + 8 fine (f) lane shifts -> T[lane = wy*32 + v],
+          v = wx relative to the window start
+      blend: (1-fx)(1-fy)T + fx(1-fy)T<<1 + (1-fx)fy T<<32 + fxfy T<<33
+      compact: out lane wy*8+wx <- lane wy*32+wx  (wy/wx = 7 hold blend
+          wrap garbage the caller slices off)
+
+    Per-pixel offsets ride in one packed [EB, P16, 8] fp32 block (lanes:
+    rely, cxi, fxi, fx, fy) so pixel sits on the sublane dim and the
+    compare masks broadcast along lanes without relayouts. Only the
+    blended [EB, P16, 64] window block leaves the kernel — 8x less out
+    traffic than v1's surfaces.
     """
     b = pl.program_id(0)
 
     @pl.when(meta_ref[b, 1] == b)
     def _():
-        # fori_loop (not an unrolled Python loop): at EB_LARGE=128 the
-        # unrolled body's live temporaries blow the Mosaic kernel stack
-        # (observed 26.9 MB scoped-vmem AOT failure at default-config
-        # capacity); the rolled loop keeps one iteration's worth.
-        def body(e, _):
+        nE = g_ref.shape[0]
+        for e in range(nE):                   # unrolled, matmul+store only
             oy = origin_ref[e, 0]
             ox = pl.multiple_of(origin_ref[e, 1], 16)
             region = fmap_ref[0, pl.ds(oy, RSH), pl.ds(ox, RSW), :]
             S = jax.lax.dot_general(
                 g_ref[e], region.reshape(RN, -1), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [P16, RN]
-            # row-split the surface: S3[y] = S[:, 32y:32y+32]
-            for y in range(RSH):
-                s3_ref[y] = S[:, RSW * y:RSW * (y + 1)].astype(jnp.bfloat16)
-            # per-pixel y-window selection (masks broadcast over sublanes)
-            rely = rely_ref[e]                           # [P16, 1]
-            acc = jnp.zeros((8, P16, RSW), jnp.bfloat16)
+            s_ref[e] = S.astype(jnp.bfloat16)
+
+        ech = min(ECH, nE)
+        for c0 in range(0, nE, ech):
+            S3 = s_ref[c0:c0 + ech]                      # [ech, P16, 512]
+            offs = offs_ref[c0:c0 + ech]                 # [ech, P16, 8]
+            rely = offs[:, :, 0:1]
+            cxi = offs[:, :, 1:2]
+            fxi = offs[:, :, 2:3]
+            fx = offs[:, :, 3:4]
+            fy = offs[:, :, 4:5]
+            z32 = jnp.zeros((ech, P16, 32), jnp.bfloat16)
+            # y-window selection: lane wy*32+x <- lane (rely+wy)*32+x
+            t = jnp.zeros((ech, P16, 256), jnp.bfloat16)
             for s in range(RSH - 8 + 1):
-                m = (rely == s)[None, :, :]
-                acc = acc + jnp.where(m, s3_ref[s:s + 8], 0)
-            # x: coarse 16-wide then fine 8-wide lane shifts (the last
-            # coarse slice reaches lane 40, so pad like the v1 XLA path)
-            accp = jnp.concatenate(
-                [acc, jnp.zeros((8, P16, 8), jnp.bfloat16)], axis=2)
-            cxi = cxi_ref[e]
-            t1 = jnp.zeros((8, P16, 16), jnp.bfloat16)
+                t = t + jnp.where(rely == s,
+                                  S3[:, :, RSW * s:RSW * s + 256], 0)
+            # x: coarse (8c) then fine (f) lane shifts; used lanes stay
+            # within their wy*32 group (v + relx <= 31 for v <= 7)
+            tp = jnp.concatenate([t, z32], axis=2)
+            t = jnp.zeros((ech, P16, 256), jnp.bfloat16)
             for c in range(RSW // 8):
-                m = (cxi == c)[None, :, :]
-                t1 = t1 + jnp.where(m, accp[:, :, 8 * c:8 * c + 16], 0)
-            fxi = fxi_ref[e]
-            t2 = jnp.zeros((8, P16, 8), jnp.float32)
+                t = t + jnp.where(cxi == c, tp[:, :, 8 * c:8 * c + 256], 0)
+            tp = jnp.concatenate([t, z32], axis=2)
+            t = jnp.zeros((ech, P16, 256), jnp.bfloat16)
             for f in range(8):
-                m = (fxi == f)[None, :, :]
-                t2 = t2 + jnp.where(m, t1[:, :, f:f + 8], 0)
-            # bilinear blend of the 4 integer shifts; the +1 shifts wrap,
-            # leaving garbage in row/col 7 that the caller slices off
-            fx = fxf_ref[e][None, :, :]
-            fy = fyf_ref[e][None, :, :]
-            t2x = jnp.concatenate([t2[:, :, 1:], t2[:, :, :1]], axis=2)
-            t2y = jnp.concatenate([t2[1:], t2[:1]], axis=0)
-            t2xy = jnp.concatenate([t2y[:, :, 1:], t2y[:, :, :1]], axis=2)
-            out = ((1 - fx) * (1 - fy) * t2 + fx * (1 - fy) * t2x
-                   + (1 - fx) * fy * t2y + fx * fy * t2xy)
-            out_ref[e] = out.astype(jnp.bfloat16)
-            return 0
-
-        jax.lax.fori_loop(0, g_ref.shape[0], body, 0)
+                t = t + jnp.where(fxi == f, tp[:, :, f:f + 256], 0)
+            # bilinear blend of the four integer shifts (fp32)
+            t32 = t.astype(jnp.float32)
+            tpad = jnp.concatenate(
+                [t32, jnp.zeros((ech, P16, 64), jnp.float32)], axis=2)
+            out = ((1 - fx) * (1 - fy) * t32
+                   + fx * (1 - fy) * tpad[:, :, 1:257]
+                   + (1 - fx) * fy * tpad[:, :, 32:288]
+                   + fx * fy * tpad[:, :, 33:289])
+            outb = out.astype(jnp.bfloat16)
+            out_ref[c0:c0 + ech] = jnp.concatenate(
+                [outb[:, :, 32 * wy:32 * wy + 8] for wy in range(8)],
+                axis=2)                                  # [ech, P16, 64]
 
 
-def _surfaces_fused(fmap_pad, block_meta, origin, rely, cxi, fxi, fxf, fyf,
-                    g, n_slots):
-    """Run the fused kernel; returns blended windows
-    [n_slots, 8(dy), P16, 8(dx)] bf16 (row/col 7 hold blend wrap garbage).
+def _surfaces_fused(fmap_pad, block_meta, origin, offs, g, n_slots):
+    """Run the fused kernel; returns blended windows [n_slots, P16, 64]
+    bf16 with lane = wy*8 + wx (wy/wx = 7 hold blend wrap garbage).
     """
     F, Hp, Wp, C = fmap_pad.shape
     n_blocks = block_meta.shape[0]
     EB = n_slots // n_blocks
-
-    def slot_spec():
-        return pl.BlockSpec((EB, P16, 1), lambda b, meta: (meta[b, 1], 0, 0),
-                            memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((EB, 2), lambda b, meta: (meta[b, 1], 0),
-                         memory_space=pltpu.SMEM),
-            slot_spec(), slot_spec(), slot_spec(),
-            slot_spec(), slot_spec(),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EB, P16, 8), lambda b, meta: (meta[b, 1], 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((EB, P16, C), lambda b, meta: (meta[b, 1], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hp, Wp, C),
                          lambda b, meta: (meta[b, 0], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((EB, 8, P16, 8),
-                               lambda b, meta: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((EB, P16, 64),
+                               lambda b, meta: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((RSH, P16, RSW), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((EB, P16, RN), jnp.bfloat16)],
     )
-    # VMEM budget: the [EB, P16, 1] offset blocks and the [EB, 8, P16, 8]
-    # out block pad their minor dim to 128 lanes (16-128x inflation), so at
-    # EB_LARGE=128 the kernel's double-buffered block set needs ~27 MB of
-    # scoped vmem (observed AOT requirement 26.94M) — well within v5e's
-    # 128 MB but above the 16 MB default limit.
+    # VMEM budget at EB_LARGE=128: scratch 2 MB (512 lanes, no padding),
+    # offs/out pad their minor dim to 128 lanes (1 MB / 0.5 MB), g 0.5 MB,
+    # level-1 fmap block ~4 MB; double-buffered inputs land ~13 MB.
     return pl.pallas_call(
         _corr_fused_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_slots, 8, P16, 8), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((n_slots, P16, 64), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(64e6)),
-    )(block_meta, origin, rely, cxi, fxi, fxf, fyf, g, fmap_pad)
+            vmem_limit_bytes=int(40e6)),
+    )(block_meta, origin, offs, g, fmap_pad)
 
 
 def _surfaces(fmap_pad, block_meta, origin, g, n_slots):
@@ -314,9 +322,9 @@ def _bucket_by_frame(jj, n_frames, n_slots, valid=None, eb=EB):
 
 def _fused_level(gmap_slots, fmap_pad, origin, coords_e, rel_y, rel_x,
                  in_region, n_slots, bucketing):
-    """Fused-kernel path: prepare slot-ordered per-pixel offset blocks,
-    run `_surfaces_fused`, and unpack to the v1 layout
-    [n_slots, P2, 7, 7] fp32 (slot order)."""
+    """Fused-kernel path: pack the slot-ordered per-pixel offsets into one
+    [n_slots, P16, 8] fp32 block, run `_surfaces_fused`, and unpack to the
+    v1 layout [n_slots, P2, 7, 7] fp32 (slot order)."""
     E = coords_e.shape[0]
     slot_edge, _, block_meta = bucketing
 
@@ -328,16 +336,24 @@ def _fused_level(gmap_slots, fmap_pad, origin, coords_e, rel_y, rel_x,
             [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
         a_s = a_p[slot_edge]                            # [n_slots, P2]
         pad = jnp.zeros((n_slots, P16 - P2), a.dtype)
-        return jnp.concatenate([a_s, pad], axis=1)[:, :, None]
+        return jnp.concatenate([a_s, pad], axis=1)
+
+    offs = jnp.stack([                                 # lane: see kernel
+        to_slots(rel_y.astype(jnp.float32)),
+        to_slots((rel_x // 8).astype(jnp.float32)),
+        to_slots((rel_x % 8).astype(jnp.float32)),
+        to_slots(fx.astype(jnp.float32)),
+        to_slots(fy.astype(jnp.float32)),
+        jnp.zeros((n_slots, P16), jnp.float32),
+        jnp.zeros((n_slots, P16), jnp.float32),
+        jnp.zeros((n_slots, P16), jnp.float32)], axis=-1)
 
     win = _surfaces_fused(
         fmap_pad.astype(jnp.bfloat16), block_meta, origin[slot_edge],
-        to_slots(rel_y), to_slots(rel_x // 8), to_slots(rel_x % 8),
-        to_slots(fx.astype(jnp.float32)), to_slots(fy.astype(jnp.float32)),
-        gmap_slots, n_slots)                  # [n_slots, 8(dy), P16, 8(dx)]
-    out = jnp.transpose(win[:, :7, :P2, :7].astype(jnp.float32),
-                        (0, 2, 1, 3))                  # [n_slots, P2, 7, 7]
-    inreg = to_slots(in_region.astype(jnp.float32))[:, :P2, 0]
+        offs, gmap_slots, n_slots)                     # [n_slots, P16, 64]
+    out = win[:, :P2].reshape(n_slots, P2, 8, 8)[:, :, :7, :7] \
+        .astype(jnp.float32)                           # [n_slots, P2, 7, 7]
+    inreg = to_slots(in_region.astype(jnp.float32))[:, :P2]
     return out * inreg[:, :, None, None]
 
 
@@ -459,7 +475,7 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
 
     gmap: [Ek, C, P, P]; pyramid: per-level [F, H_l, W_l, C] channel-last;
     coords: [E, P, P, 2] at level-1 scale; kk/jj: [E] indices.
-    fused=True runs the v2 kernel (in-kernel window extraction + blend).
+    fused=True runs the fused v3 kernel (in-kernel window extraction + blend).
     Returns [E, L*(2R+1)^2*P*P] with the reference feature layout.
     """
     assert radius == 3, "kernel is specialized for the reference radius 3"
