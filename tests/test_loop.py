@@ -187,6 +187,32 @@ def test_vlad_descriptor_similarity():
     assert (1 - d1 @ d2) < 0.3 * (1 - d1 @ d3)
 
 
+def test_fit_centers_spherical_kmeans():
+    """k-means-fitted centers are unit-norm and quantize clustered data
+    with lower distortion than data-independent random centers."""
+    from wild_video_3d_reconstruction_tpu.loop.netvlad import fit_centers
+
+    rng = np.random.default_rng(0)
+    # 8 well-separated modes on the sphere in 16-d
+    modes = rng.normal(size=(8, 16))
+    modes /= np.linalg.norm(modes, axis=1, keepdims=True)
+    x = modes[rng.integers(0, 8, 4000)] + 0.05 * rng.normal(size=(4000, 16))
+
+    centers = fit_centers(x, num_clusters=8, seed=1)
+    assert centers.shape == (8, 16)
+    np.testing.assert_allclose(np.linalg.norm(centers, axis=1), 1.0,
+                               atol=1e-5)
+
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rand = rng.normal(size=(8, 16))
+    rand /= np.linalg.norm(rand, axis=1, keepdims=True)
+    fit_cos = (xn @ centers.T).max(axis=1).mean()
+    rand_cos = (xn @ rand.T).max(axis=1).mean()
+    assert fit_cos > rand_cos + 0.1
+    # every mode captured by some center
+    assert (modes @ centers.T).max(axis=1).min() > 0.9
+
+
 def test_dbow_backend_retrieval():
     """`RETRIEVAL_BACKEND=dbow` routes the standard Retrieval protocol
     through the native binary inverted file (`retrieval_dbow.py:28`

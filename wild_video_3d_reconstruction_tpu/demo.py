@@ -60,7 +60,21 @@ def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
                         sync_mode=True if (viz or rerun) else None)
             if loop_enabled or cfg.loop_enabled:
                 from .loop.longterm import LongTermLoopClosure
-                slam.loop_closure = LongTermLoopClosure(cfg, slam)
+                vlad = None
+                if not getattr(cfg, "NETVLAD_CHECKPOINT", "") and \
+                        os.path.isdir(imagedir):
+                    # offline pre-pass (reference: dpvo_demo.py:94-99):
+                    # fit the VLAD vocabulary on this sequence's features
+                    import cv2
+                    from .loop.netvlad import (VLADDescriptor,
+                                               fit_centers_from_images)
+                    files = stream.list_images(imagedir, stride, skip, end)
+                    step = max(len(files) // 24, 1)
+                    imgs = [cv2.imread(str(f)) for f in files[::step][:24]]
+                    centers = fit_centers_from_images(slam.params, imgs)
+                    vlad = VLADDescriptor(centers=centers)
+                slam.loop_closure = LongTermLoopClosure(cfg, slam,
+                                                        vlad=vlad)
             if viz or rerun:
                 from .utils.viz import Visualizer
                 visualizer = Visualizer(slam, path=f"{path}/viz",

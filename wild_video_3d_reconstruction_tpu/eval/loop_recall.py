@@ -46,16 +46,24 @@ def main():
     ap.add_argument("--thresh", type=float, default=0.0)
     ap.add_argument("--tol", type=int, default=2)
     ap.add_argument("--skip-window", type=int, default=10)
+    ap.add_argument("--fit", action="store_true",
+                    help="fit VLAD centers on the sequence (spherical "
+                         "k-means pre-pass) instead of random centers")
     args = ap.parse_args()
 
-    from ..loop.netvlad import DescriptorDatabase, VLADDescriptor
+    from ..loop.netvlad import (DescriptorDatabase, VLADDescriptor,
+                                fit_centers_from_images)
     from ..models import vonet
 
     ht, wd = args.size
     frames, gt = build_frames(args.frames, args.shift, ht, wd)
 
     params = vonet.init_vonet(jax.random.PRNGKey(0))
-    vlad = VLADDescriptor()
+    if args.fit:
+        vlad = VLADDescriptor(
+            centers=fit_centers_from_images(params, frames))
+    else:
+        vlad = VLADDescriptor()
     encode = jax.jit(lambda img: vonet.encode_frame(
         params, img, jnp.float32).fmap)
 
@@ -82,7 +90,9 @@ def main():
         "hits": hits,
         "mean_hit_score": round(float(np.mean(margins)) if margins else 0.0,
                                 4),
-        "descriptor": "VLAD-16x128 over fnet features (random weights)",
+        "descriptor": ("VLAD-16x128 over fnet features ("
+                       + ("k-means-fitted" if args.fit else "random")
+                       + " centers, random weights)"),
     }))
 
 

@@ -28,6 +28,12 @@ def _globbed(directory, exts, skip, end, stride):
     return files[skip:end:stride] if end is not None else files[skip::stride]
 
 
+def list_images(imagedir, stride=1, skip=0, end=None):
+    """The image file list a stream over `imagedir` would visit (for
+    offline pre-passes such as VLAD vocabulary fitting)."""
+    return _globbed(imagedir, IMG_EXTS, skip, end, stride)
+
+
 def image_frames(imagedir, depthdir=None, maskdir=None, calib=None,
                  stride=1, skip=0, end=None):
     """Yield (t, image BGR u8, depth|None, mask|None, intrinsics[4])."""

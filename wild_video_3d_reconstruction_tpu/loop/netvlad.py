@@ -37,10 +37,74 @@ def vlad_extract(fmap, centers):
     return v / jnp.maximum(jnp.linalg.norm(v), 1e-8)
 
 
+def fit_centers(feats, num_clusters=16, iters=25, seed=0,
+                max_rows=200_000):
+    """Spherical k-means over L2-normalized feature rows.
+
+    The data-dependent analogue of NetVLAD's cluster initialization (the
+    hloc checkpoint's centroids were k-means-fitted on Pitts30k features);
+    fitting on the actual sequence's features makes the soft-assignment
+    split the descriptor space where this scene has mass instead of
+    uniformly over the unit sphere.
+
+    feats: [N, C] (or anything reshapeable to that) feature rows.
+    Returns [num_clusters, C] unit-norm centers (float32 numpy).
+    """
+    x = np.asarray(feats, np.float32).reshape(-1, np.shape(feats)[-1])
+    rng = np.random.default_rng(seed)
+    if x.shape[0] > max_rows:
+        x = x[rng.choice(x.shape[0], max_rows, replace=False)]
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-8)
+    # k-means++ style seeding: greedy far-point picks on cosine distance
+    centers = x[rng.integers(x.shape[0])][None]
+    for _ in range(num_clusters - 1):
+        d = 1.0 - (x @ centers.T).max(axis=1)
+        p = np.maximum(d, 0) + 1e-9
+        centers = np.concatenate(
+            [centers, x[rng.choice(x.shape[0], p=p / p.sum())][None]])
+    for _ in range(iters):
+        assign = np.argmax(x @ centers.T, axis=1)
+        for k in range(num_clusters):
+            rows = x[assign == k]
+            if rows.shape[0] == 0:           # dead cluster: re-seed far
+                d = 1.0 - (x @ centers.T).max(axis=1)
+                rows = x[d.argmax()][None]
+            c = rows.mean(axis=0)
+            centers[k] = c / max(np.linalg.norm(c), 1e-8)
+    return centers
+
+
+def fit_centers_from_images(params, images, num_clusters=16, seed=0,
+                            max_images=24):
+    """Offline center-fitting pre-pass over a (subsampled) image list,
+    mirroring the reference's offline NetVLAD extraction pass
+    (`dpvo_demo.py:94-99`). images: iterable of HxWx3 uint8 arrays."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from ..models import vonet
+
+    enc = _jax.jit(lambda im: vonet.encode_frame(
+        params, im, _jnp.float32).fmap)
+    rows = []
+    imgs = list(images)
+    if len(imgs) > max_images:
+        step = len(imgs) / max_images
+        imgs = [imgs[int(i * step)] for i in range(max_images)]
+    for im in imgs:
+        im = np.asarray(im)
+        im = im[:im.shape[0] - im.shape[0] % 16,
+                :im.shape[1] - im.shape[1] % 16]
+        f = np.asarray(enc(_jnp.asarray(im)), np.float32)
+        rows.append(f.reshape(-1, f.shape[-1]))
+    return fit_centers(np.concatenate(rows), num_clusters, seed=seed)
+
+
 class VLADDescriptor:
     """VLAD pooling over [H, W, C] feature maps with K soft-assigned
     clusters. Centers are data-independent (fixed random rotation of the
-    unit sphere) unless loaded from a trained checkpoint."""
+    unit sphere) unless fitted on sequence features (`fit_centers*`) or
+    loaded from a trained checkpoint."""
 
     def __init__(self, num_clusters=16, feat_dim=128, seed=7,
                  centers=None):
