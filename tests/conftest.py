@@ -21,3 +21,36 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8, jax.devices()
+
+
+# ---------------------------------------------------------------------------
+# reference-oracle shim isolation
+# ---------------------------------------------------------------------------
+import contextlib  # noqa: E402
+import sys as _sys  # noqa: E402
+
+
+def _ref_module_keys():
+    return [k for k in _sys.modules
+            if k in ("torch_scatter", "dpvo") or k.startswith("dpvo.")]
+
+
+@contextlib.contextmanager
+def reference_shims():
+    """Isolate `sys.modules` pollution from reference-code imports.
+
+    The oracle test files (test_reference_oracle / test_ba_reference_oracle)
+    install conflicting pure-torch shims for `torch_scatter` and the
+    `dpvo.*` native extensions. Without teardown, whichever file runs first
+    leaves its shims cached and the second file imports the reference
+    against the wrong ones (order-dependent failures). Wrapping each
+    module-scoped fixture in this context purges every reference module on
+    teardown so the next importer starts fresh.
+    """
+    saved = {k: _sys.modules[k] for k in _ref_module_keys()}
+    try:
+        yield
+    finally:
+        for k in _ref_module_keys():
+            del _sys.modules[k]
+        _sys.modules.update(saved)

@@ -142,10 +142,17 @@ class SE3Shim:
 
 
 @pytest.fixture(scope="module")
-def ref_ba():
-    """Import dpvo.ba with torch_scatter + lietorch shims."""
+def ref_ba(request):
+    """Import dpvo.ba with torch_scatter + lietorch shims. Shims are purged
+    on module teardown (conftest.reference_shims) so the other oracle test
+    file imports the reference fresh — order-independent."""
+    from conftest import reference_shims
+
     if REF not in sys.path:
         sys.path.insert(0, REF)
+    ctx = reference_shims()
+    ctx.__enter__()
+    request.addfinalizer(lambda: ctx.__exit__(None, None, None))
 
     def scatter_sum(src, index, dim=0, dim_size=None):
         dim = dim % src.dim()

@@ -32,13 +32,20 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "dpvo")),
 
 
 @pytest.fixture(scope="module")
-def ref_net():
+def ref_net(request):
     """Import the reference dpvo.net with pure-torch shims for its native
-    deps; return the constructed VONet (float32, eval mode)."""
+    deps; return the constructed VONet (float32, eval mode). The shims are
+    purged on module teardown (conftest.reference_shims) so other oracle
+    test files import the reference fresh — order-independent."""
     import torch
+
+    from conftest import reference_shims
 
     if REF not in sys.path:
         sys.path.insert(0, REF)
+    ctx = reference_shims()
+    ctx.__enter__()
+    request.addfinalizer(lambda: ctx.__exit__(None, None, None))
 
     # ---- torch_scatter shim (scatter_softmax / scatter_sum on dim=1) ----
     ts = types.ModuleType("torch_scatter")

@@ -69,10 +69,24 @@ def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
                     from .loop.netvlad import (VLADDescriptor,
                                                fit_centers_from_images)
                     files = stream.list_images(imagedir, stride, skip, end)
-                    step = max(len(files) // 24, 1)
-                    imgs = [cv2.imread(str(f)) for f in files[::step][:24]]
-                    centers = fit_centers_from_images(slam.params, imgs)
-                    vlad = VLADDescriptor(centers=centers)
+                    # evenly spaced across the whole sequence (files[::step]
+                    # would take a contiguous head for 25-47 images)
+                    k = min(24, len(files))
+                    picks = [files[int(i * len(files) / k)]
+                             for i in range(k)]
+                    imgs = [im for im in (cv2.imread(str(f)) for f in picks)
+                            if im is not None]
+                    if len(calib) > 4:
+                        # match the online path: stream.image_frames
+                        # undistorts before feature extraction
+                        K = np.array([[calib[0], 0, calib[2]],
+                                      [0, calib[1], calib[3]],
+                                      [0, 0, 1]])
+                        imgs = [cv2.undistort(im, K, calib[4:])
+                                for im in imgs]
+                    if imgs:
+                        centers = fit_centers_from_images(slam.params, imgs)
+                        vlad = VLADDescriptor(centers=centers)
                 slam.loop_closure = LongTermLoopClosure(cfg, slam,
                                                         vlad=vlad)
             if viz or rerun:

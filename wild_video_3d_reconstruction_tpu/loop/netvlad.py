@@ -56,7 +56,9 @@ def fit_centers(feats, num_clusters=16, iters=25, seed=0,
         x = x[rng.choice(x.shape[0], max_rows, replace=False)]
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-8)
     # k-means++ style seeding: greedy far-point picks on cosine distance
-    centers = x[rng.integers(x.shape[0])][None]
+    # (copy: with num_clusters=1 the concatenate below never runs and the
+    # Lloyd loop would otherwise write through a view into x)
+    centers = x[rng.integers(x.shape[0])][None].copy()
     for _ in range(num_clusters - 1):
         d = 1.0 - (x @ centers.T).max(axis=1)
         p = np.maximum(d, 0) + 1e-9
