@@ -131,7 +131,16 @@ def _edge_system(poses, patches, intr, target, ii, jj, kk, cfg: BAConfig):
 
 def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
                   valid, t0, t1, m_base, cfg: BAConfig, patches_est=None,
-                  patch_table=None):
+                  patch_table=None, ar=None):
+    """ar: optional all-reduce applied to every edge-summed accumulator
+    (B, Em, C/u/touched, v). Identity for the single-chip path; the
+    edge-sharded multi-chip path (`parallel.infer_shard`) passes a psum
+    over the edges mesh axis so each shard contributes its partial
+    Hessian and every device solves the identical (replicated) system —
+    the TPU analogue of the reference's single-GPU atomicAdd accumulation
+    (`ba_cuda.cu:294-322`) distributed over ICI."""
+    if ar is None:
+        ar = lambda x: x                                   # noqa: E731
     W_, M_ = cfg.window, cfg.patch_slots
     E = ii.shape[0]
 
@@ -181,7 +190,7 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
     # inner 6x6 block axes instead of a fourth [E]-wide product.
     Pji = jnp.transpose(Pij.reshape(W_, W_, 6, 6),
                         (1, 0, 3, 2)).reshape(W_ * W_, 36)
-    B = Pii + Pij + Pji + Pjj
+    B = ar(Pii + Pij + Pji + Pjj)
     B = B.reshape(W_, W_, 6, 6).transpose(0, 2, 1, 3).reshape(6 * W_, 6 * W_)
 
     Eik = jnp.einsum("er,eri->ei", wJz, Ji)        # [E, 6]
@@ -209,13 +218,13 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
         lj_m = jnp.concatenate([jnp.where(okj, lj, -1),
                                 jnp.full((1,), -1, lj.dtype)])
         g = vals[table]                                        # [M, cap, 15]
-        accu = jnp.sum(g[..., :3], axis=1)                     # [M, 3]
+        accu = ar(jnp.sum(g[..., :3], axis=1))                 # [M, 3]
         C, u, touched_cnt = accu[:, 0], accu[:, 1], accu[:, 2]
         ohi_t = (li_m[table][..., None] == iw).astype(jnp.float32)
         ohj_t = (lj_m[table][..., None] == iw).astype(jnp.float32)
         Em_m = (jnp.einsum("mcw,mcd->mwd", ohi_t, g[..., 3:9])
                 + jnp.einsum("mcw,mcd->mwd", ohj_t, g[..., 9:15]))
-        Em = Em_m.transpose(1, 2, 0).reshape(6 * W_, M_)
+        Em = ar(Em_m.transpose(1, 2, 0).reshape(6 * W_, M_))
     else:
         tmp = (jnp.einsum("ew,ec->ewc", oh_i, Eik)
                + jnp.einsum("ew,ec->ewc", oh_j, Ejk)).reshape(E, W_ * 6)
@@ -223,14 +232,14 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
                 okq[:, None]).astype(jnp.float32)              # [E, M]
         Em = jnp.dot(tmp.T, oh_q,
                      preferred_element_type=jnp.float32)       # [W*6, M]
-        Em = Em.reshape(W_, 6, M_).reshape(6 * W_, M_)
-        CU = jnp.dot(oh_q.T, cu, preferred_element_type=jnp.float32)
+        Em = ar(Em.reshape(W_, 6, M_).reshape(6 * W_, M_))
+        CU = ar(jnp.dot(oh_q.T, cu, preferred_element_type=jnp.float32))
         C, u, touched_cnt = CU[:, 0], CU[:, 1], CU[:, 2]
     vi = jnp.einsum("er,eri->ei", w * r, Ji)
     vj = jnp.einsum("er,eri->ei", w * r, Jj)
     v = (jnp.dot(oh_i.T, vi, preferred_element_type=jnp.float32)
          + jnp.dot(oh_j.T, vj, preferred_element_type=jnp.float32))
-    v = v.reshape(6 * W_)
+    v = ar(v.reshape(6 * W_))
 
     if patches_est is not None:
         # depth-prior regularization mu*L: patches with a positive prior
@@ -306,7 +315,7 @@ def bundle_adjust(poses, patches, intrinsics, target, weight, lam,
 
 def _bundle_adjust_impl(poses, patches, intrinsics, target, weight, lam,
                         ii, jj, kk, valid, t0, t1, m_base, cfg: BAConfig,
-                        patches_est=None):
+                        patches_est=None, ar=None):
     """Run cfg.iterations Gauss-Newton steps (the `fastba.BA` entry point).
 
     poses:      [N, 7] fp32 (w2c);     patches: [Nk, 3, P, P]
@@ -333,7 +342,7 @@ def _bundle_adjust_impl(poses, patches, intrinsics, target, weight, lam,
         return _gn_iteration(p, z, intrinsics, target, weight, lam,
                              ii, jj, kk, valid, t0, t1, m_base, cfg,
                              patches_est=patches_est,
-                             patch_table=patch_table)
+                             patch_table=patch_table, ar=ar)
 
     poses, patches = jax.lax.fori_loop(0, cfg.iterations, body,
                                        (poses, patches))
