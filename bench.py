@@ -1,9 +1,23 @@
 """Benchmark: end-to-end VO throughput at 512x384 on the TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target: 60 FPS (2x real-time) at 512x384 on one v5e chip
 (BASELINE.md). Synthetic in-memory frames isolate device throughput from
 disk decode (the real pipeline overlaps decode via io.stream.Prefetcher).
+
+Self-tuning (VERDICT r2 #1): the dispatch strategy that wins depends on the
+session's relay characteristics (per-execute RTT and transfer bandwidth vary
+across remote-TPU sessions and workers), so the bench A/B-probes a small
+candidate set — PIPELINE_CHUNK x PALLAS_FUSED — under a wall-clock budget,
+reports every candidate's FPS, and selects the best for the headline number.
+Each candidate is measured with `trials` independent timed windows (best
+taken) and the JSON carries a device-vs-host breakdown:
+
+  device_ms_per_frame   back-to-back re-dispatch of the steady-state
+                        program on a fixed state, one closing sync — the
+                        device-bound floor
+  loop_ms_per_frame     the actual feed-loop time (uploads + host + device)
+  overhead_ms_per_frame difference: host prep + relay dispatch/transfer cost
 """
 
 import argparse
@@ -21,7 +35,6 @@ def synthetic_frames(n, ht=HT, wd=WD, seed=0):
     rng = np.random.default_rng(seed)
     big = rng.integers(0, 255, size=(ht + 256, wd + 256, 3),
                        dtype=np.uint8)
-    # smooth it a bit so gradients are natural
     frames = []
     for t in range(n):
         y, x = (5 * t) % 256, (7 * t) % 256
@@ -29,19 +42,134 @@ def synthetic_frames(n, ht=HT, wd=WD, seed=0):
     return frames
 
 
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
+                  trials, buffer, loop):
+    """Build a DPVO for (chunk, fused), feed frames, return measurements.
+
+    Returns dict with fps (best-of-trials), loop_ms, device_ms, overhead_ms.
+    """
+    import jax
+
+    from wild_video_3d_reconstruction_tpu.slam import DPVO
+    from wild_video_3d_reconstruction_tpu.utils.config import load_config
+
+    cfg = load_config(config, BUFFER_SIZE=buffer, PIPELINE_CHUNK=chunk,
+                      PALLAS_FUSED=fused,
+                      **({"loop_enabled": True} if loop else {}))
+    slam = DPVO(cfg, None, HT, WD, seed=0)
+    if loop:
+        from wild_video_3d_reconstruction_tpu.loop.longterm import \
+            LongTermLoopClosure
+        slam.loop_closure = LongTermLoopClosure(cfg, slam)
+    # random weights would stall the motion-probe gate; force acceptance so
+    # the benchmark exercises the full steady-state tracking path
+    slam._probe = lambda *a: 100.0
+
+    def sync():
+        _ = np.asarray(slam.state.poses[:1])
+
+    # keep timed windows on chunk boundaries so no partial-tail path runs
+    step = max(chunk, 1)
+    timed = (timed // step) * step
+
+    dev_next = None            # upload-ahead double buffering (chunk<=1)
+    results = []
+    t_start = None
+    n_start = 0
+    t = 0
+    windows_done = 0
+    while windows_done < trials:
+        if t >= len(frames):
+            frames.extend(synthetic_frames(len(frames), seed=1 + t))
+        img = frames[t]
+        if chunk <= 1:
+            if dev_next is None:
+                dev_next = jax.device_put(img)
+            slam(t, dev_next, intrinsics=intr)
+            dev_next = (jax.device_put(frames[t + 1])
+                        if t + 1 < len(frames) else None)
+        else:
+            slam(t, img, intrinsics=intr)
+        t += 1
+        boundary = slam.is_initialized and not slam._pending
+        if t_start is None and t >= warmup and boundary:
+            sync()             # a VALUE fetch is the only true device sync
+            t_start = time.perf_counter()
+            n_start = slam._events_dispatched
+        elif t_start is not None and boundary and \
+                slam._events_dispatched - n_start >= timed:
+            sync()
+            dt = time.perf_counter() - t_start
+            n = slam._events_dispatched - n_start
+            results.append((n / dt, 1000.0 * dt / n))
+            windows_done += 1
+            t_start = time.perf_counter()
+            n_start = slam._events_dispatched
+
+    fps, loop_ms = max(results)
+
+    # ---- device-bound floor: re-dispatch the steady-state program on a
+    # fixed state, back to back, one closing sync ------------------------
+    device_ms = None
+    try:
+        import jax.numpy as jnp
+        state = slam.state
+        sig = (False, False)
+        if chunk > 1:
+            imgs = jax.device_put(np.stack(frames[:chunk]))
+            intrs = jnp.asarray(np.stack([intr] * chunk).astype(np.float32))
+            facs = jnp.ones((chunk,), jnp.float32)
+            fn = slam._chunk[sig]
+            args = (state, slam.params, imgs, intrs, facs,
+                    slam._zero_dep_chunk, slam._zero_msk_chunk)
+            per_call = chunk
+        else:
+            img_d = jax.device_put(frames[0])
+            fn = slam._frame[sig]
+            args = (state, slam.params, img_d,
+                    jnp.asarray(intr, jnp.float32), jnp.float32(1.0),
+                    slam._zero_dep, slam._zero_msk)
+            per_call = 1
+        out = fn(*args)
+        _ = np.asarray(out.poses[:1])
+        reps = max(2, 32 // per_call)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        _ = np.asarray(out.poses[:1])
+        device_ms = 1000.0 * (time.perf_counter() - t0) / (reps * per_call)
+    except Exception as e:          # breakdown is diagnostic, not critical
+        log(f"device-floor measurement failed: {e!r}")
+
+    return {
+        "fps": round(fps, 2),
+        "loop_ms": round(loop_ms, 2),
+        "device_ms": round(device_ms, 2) if device_ms else None,
+        "overhead_ms": round(loop_ms - device_ms, 2) if device_ms else None,
+        "trials": [round(f, 2) for f, _ in results],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/fast.yaml")
-    ap.add_argument("--frames", type=int, default=80)
-    ap.add_argument("--warmup", type=int, default=25)
+    ap.add_argument("--warmup", type=int, default=24)
+    ap.add_argument("--timed", type=int, default=48,
+                    help="frames per timed window")
+    ap.add_argument("--trials", type=int, default=2,
+                    help="timed windows per candidate (best taken)")
     ap.add_argument("--buffer", type=int, default=256)
     ap.add_argument("--loop", action="store_true",
                     help="enable async loop closure (measures LC-mode FPS)")
-    ap.add_argument("--fused", action="store_true",
-                    help="A/B: fused Pallas kernel (in-kernel extraction)")
-    ap.add_argument("--chunk", type=int, default=8,
-                    help="steady-state frames per lax.scan dispatch "
-                         "(PIPELINE_CHUNK); 1 = per-frame dispatch")
+    ap.add_argument("--budget", type=float, default=2700.0,
+                    help="wall-clock budget (s); candidate 1 always runs, "
+                         "later candidates only while under budget")
+    ap.add_argument("--candidates", default="8:0,1:0,8:1",
+                    help="comma list of CHUNK:FUSED probes, best wins")
     args = ap.parse_args()
 
     # A dead relay tunnel makes jax.devices() hang forever (observed:
@@ -65,7 +193,6 @@ def main():
             return 0
 
     import jax
-    import jax.numpy as jnp
 
     try:  # persistent compile cache: repeated bench runs skip XLA compiles
         jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -73,75 +200,54 @@ def main():
     except Exception:
         pass
 
-    from wild_video_3d_reconstruction_tpu.slam import DPVO
-    from wild_video_3d_reconstruction_tpu.utils.config import load_config
-
-    cfg = load_config(args.config, BUFFER_SIZE=args.buffer,
-                      PIPELINE_CHUNK=args.chunk,
-                      **({"loop_enabled": True} if args.loop else {}),
-                      **({"PALLAS_FUSED": True} if args.fused else {}))
-
-    slam = DPVO(cfg, None, HT, WD, seed=0)
-    if args.loop:
-        from wild_video_3d_reconstruction_tpu.loop.longterm import \
-            LongTermLoopClosure
-        slam.loop_closure = LongTermLoopClosure(cfg, slam)
-    # random weights would stall the motion-probe gate; force acceptance so
-    # the benchmark exercises the full steady-state tracking path
-    slam._probe = lambda *a: 100.0
-
     intr = np.array([400.0, 400.0, WD / 2, HT / 2])
-    frames = synthetic_frames(args.frames)
+    frames = synthetic_frames(args.warmup + args.timed * (args.trials + 1))
 
-    # chunked mode: feed raw numpy — DPVO stacks PIPELINE_CHUNK frames and
-    # makes ONE device transfer + ONE scan dispatch per chunk. Unchunked
-    # mode: upload-ahead double buffering (what io.stream.Prefetcher does
-    # with device_upload=True) so the copy overlaps device compute.
-    dev_frames = None
-    if args.chunk <= 1:
-        dev_frames = [None] * len(frames)
-        dev_frames[0] = jax.device_put(frames[0])
+    cands = []
+    for spec in args.candidates.split(","):
+        c, f = spec.split(":")
+        cands.append((int(c), bool(int(f))))
 
-    t_start = None
-    ev_start = 0
-    for t, img in enumerate(frames):
-        if dev_frames is None:
-            slam(t, img, intrinsics=intr)
-        else:
-            slam(t, dev_frames[t], intrinsics=intr)
-            dev_frames[t] = None
-            if t + 1 < len(frames):
-                dev_frames[t + 1] = jax.device_put(frames[t + 1])
-        if (t_start is None and t + 1 >= args.warmup
-                and slam.is_initialized and not slam._pending):
-            # start timing on a chunk-flush boundary; a VALUE fetch is the
-            # only true device sync on a relay-attached TPU
-            # (block_until_ready returns immediately there)
-            _ = np.asarray(slam.state.poses[:1])
-            t_start = time.perf_counter()
-            ev_start = slam._events_dispatched
-    # drain any partial chunk with repeated frames so every counted frame
-    # actually executes before the closing sync
-    extra = 0
-    while slam._pending:
-        slam(len(frames) + extra, frames[extra % len(frames)],
-             intrinsics=intr)
-        extra += 1
-    _ = np.asarray(slam.state.poses[:1])
-    elapsed = time.perf_counter() - t_start
-    n_timed = slam._events_dispatched - ev_start
-    fps = n_timed / elapsed
+    t_bench = time.perf_counter()
+    report = {}
+    for i, (chunk, fused) in enumerate(cands):
+        elapsed = time.perf_counter() - t_bench
+        if i > 0 and elapsed > args.budget:
+            log(f"budget exhausted ({elapsed:.0f}s); skipping "
+                f"chunk={chunk} fused={fused}")
+            continue
+        key = f"chunk{chunk}_fused{int(fused)}"
+        log(f"candidate {key} (elapsed {elapsed:.0f}s) ...")
+        try:
+            r = run_candidate(args.config, chunk, fused, list(frames), intr,
+                              args.warmup, args.timed, args.trials,
+                              args.buffer, args.loop)
+            log(f"candidate {key}: {r}")
+            report[key] = r
+        except Exception as e:
+            log(f"candidate {key} FAILED: {e!r}")
+            report[key] = {"fps": 0.0, "error": repr(e)}
+
+    best_key = max(report, key=lambda k: report[k]["fps"])
+    best = report[best_key]
 
     import os.path
     cfg_tag = os.path.splitext(os.path.basename(args.config))[0]
     tag = {"fast": "fast48", "default": "default384",
            "mid": "mid192"}.get(cfg_tag, cfg_tag)
-    print(json.dumps({
+    out = {
         "metric": f"vo_fps_512x384_{tag}" + ("_loop" if args.loop else ""),
-        "value": round(fps, 2),
+        "value": best["fps"],
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+        "vs_baseline": round(best["fps"] / BASELINE_FPS, 3),
+        "chosen": best_key,
+        "device_ms_per_frame": best.get("device_ms"),
+        "loop_ms_per_frame": best.get("loop_ms"),
+        "overhead_ms_per_frame": best.get("overhead_ms"),
+        "candidates": {k: v.get("fps") for k, v in report.items()},
+        "bench_wall_s": round(time.perf_counter() - t_bench, 1),
+    }
+    print(json.dumps(out))
     return 0
 
 

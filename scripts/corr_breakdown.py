@@ -1,0 +1,128 @@
+"""Stage breakdown of the v1 Pallas correlation path at a given edge size.
+
+Times, at default-config shapes: (a) the Pallas surface kernel alone,
+(b) one full pyramid level (kernel + masked-shift extraction + blend),
+(c) the complete 2-level path incl. the final unsort gather, and
+(d) supporting index builders (bucketing). Directs the optimization ledger
+at whichever stage actually dominates (VERDICT r2 #2).
+
+Run: python -u scripts/corr_breakdown.py [--e 221184] [--live-frac 0.8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--e", type=int, default=221184)
+    ap.add_argument("--live-frac", type=float, default=0.8)
+    ap.add_argument("--frames", type=int, default=36)
+    ap.add_argument("--m", type=int, default=384)
+    ap.add_argument("--ht", type=int, default=96)     # 384/4
+    ap.add_argument("--wd", type=int, default=128)    # 512/4
+    ap.add_argument("--c", type=int, default=128)
+    ap.add_argument("--n", type=int, default=15)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from wild_video_3d_reconstruction_tpu.ops import pallas_corr as pc
+
+    E, F, C = args.e, args.frames, args.c
+    H, W = args.ht, args.wd
+    M = args.m
+    rng = np.random.default_rng(0)
+    live = int(E * args.live_frac)
+
+    gmap = jnp.asarray(rng.normal(size=(F * M, C, 3, 3)), jnp.float32)
+    fmap1 = jnp.asarray(rng.normal(size=(F, H, W, C)), jnp.float32)
+    fmap2 = jnp.asarray(rng.normal(size=(F, H // 4, W // 4, C)),
+                        jnp.float32)
+    coords = jnp.asarray(
+        rng.uniform(4, min(H, W) - 8, size=(E, 3, 3, 2)), jnp.float32)
+    kk = jnp.asarray(rng.integers(0, F * M, E), jnp.int32)
+    jj = jnp.asarray(np.sort(rng.integers(0, F, E)), jnp.int32)
+    valid = jnp.asarray(np.arange(E) < live)
+
+    def timeit(fn, n=args.n, warmup=3):
+        for _ in range(warmup):
+            out = fn()
+        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+        return (time.perf_counter() - t0) / n * 1000.0
+
+    eb = pc.EB_LARGE if E >= pc.EB_SWITCH else pc.EB
+    n_slots = ((E + eb - 1) // eb) * eb + (F + 1) * eb
+
+    f_bucket = jax.jit(lambda jj_, v: pc._bucket_by_frame(
+        jj_, F, n_slots, valid=v, eb=eb))
+    t = timeit(lambda: f_bucket(jj, valid))
+    print(f"bucketing (2 argsorts):     {t:8.2f} ms")
+
+    bucketing = jax.tree.map(jnp.asarray, f_bucket(jj, valid))
+    slot_edge, slot_of_edge, block_meta = bucketing
+
+    def gslots():
+        g = jnp.moveaxis(gmap[kk], 1, -1).reshape(E, 9, C)
+        g = jnp.pad(g, ((0, 1), (0, pc.P16 - 9), (0, 0))).astype(
+            jnp.bfloat16)
+        return g[slot_edge]
+    f_g = jax.jit(gslots)
+    t = timeit(f_g)
+    print(f"g gather+pad+slot-sort:     {t:8.2f} ms")
+    g_slots = jnp.asarray(f_g())
+
+    # surfaces kernel alone (level 1 geometry)
+    def surf_only():
+        fmap_pad = jnp.pad(fmap1.astype(jnp.bfloat16),
+                           ((0, 0), (pc.PAD, pc.PAD), (pc.PAD, pc.PAD),
+                            (0, 0)))
+        ystart = jnp.floor(coords[..., 1]).astype(jnp.int32) - 3 + pc.PAD
+        xstart = jnp.floor(coords[..., 0]).astype(jnp.int32) - 3 + pc.PAD
+        ystart = ystart.reshape(E, 9)
+        xstart = xstart.reshape(E, 9)
+        Hp, Wp = H + 2 * pc.PAD, W + 2 * pc.PAD
+        oy = jnp.clip(jnp.min(ystart, axis=1), 0, Hp - pc.RSH)
+        ox = jnp.clip((jnp.min(xstart, axis=1) // 16) * 16, 0,
+                      ((Wp - pc.RSW) // 16) * 16)
+        origin = jnp.stack([oy, ox], axis=-1)
+        origin = jnp.concatenate([origin, jnp.zeros((1, 2), jnp.int32)],
+                                 axis=0)
+        return pc._surfaces(fmap_pad, block_meta, origin[slot_edge],
+                            g_slots, n_slots)
+    t = timeit(jax.jit(surf_only))
+    print(f"surface kernel (level 1):   {t:8.2f} ms")
+
+    # one full level
+    f_lvl = jax.jit(lambda: pc._pallas_corr_level(
+        g_slots, fmap1.astype(jnp.bfloat16), coords, jj, n_slots,
+        bucketing))
+    t = timeit(f_lvl)
+    print(f"full level 1 (k+extract):   {t:8.2f} ms")
+
+    # complete 2-level path
+    f_all = jax.jit(lambda: pc.patch_corr_pyramid_pallas(
+        gmap, (fmap1, fmap2), coords, kk, jj, radius=3, valid=valid))
+    t = timeit(f_all)
+    print(f"full pyramid (2 lvl+unsort):{t:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

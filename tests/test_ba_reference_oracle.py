@@ -140,6 +140,16 @@ class SE3Shim:
     def device(self):
         return self.data.device
 
+    # --- additions used by the full VONet.forward (test_forward_parity) ---
+    def detach(self):
+        return SE3Shim(self.data.detach())
+
+    @classmethod
+    def IdentityLike(cls, other):
+        d = torch.zeros_like(other.data)
+        d[..., 6] = 1.0
+        return cls(d)
+
 
 @pytest.fixture(scope="module")
 def ref_ba(request):

@@ -57,16 +57,23 @@ class BAConfig(NamedTuple):
     # depth-prior regularization strength (`dpvo/ba.py:151-159` mu);
     # applied only when bundle_adjust receives patches_est
     prior_mu: float = 2.0
+    # depth retraction rule: "cuda" = the inference kernel's reset/floor
+    # (`ba_cuda.cu:160-210`: d > 20 -> 1.0, floor 1e-4); "train" = the
+    # python training BA's clamp (`dpvo/ba.py:183`: clamp(1e-3, 10.0))
+    depth_clamp: str = "cuda"
 
 
-def _group_by_patch(q, okq, M_, cap):
+def _group_by_patch(q, okq, M_, cap, order=None):
     """Scatter-free per-patch edge table: [M_, cap] edge ids (E = dummy).
 
     One stable argsort by patch slot + vectorized searchsorted, like the
-    correlation kernel's frame bucketing."""
+    correlation kernel's frame bucketing. `order` lets the caller inject a
+    precomputed stable ordering by (not-okq, q) — `slam.steps` shares one
+    argsort between this and the neighbor links."""
     E = q.shape[0]
     key = jnp.where(okq, q, M_)
-    order = jnp.argsort(key, stable=True)
+    if order is None:
+        order = jnp.argsort(key, stable=True)
     q_sorted = key[order]
     starts = jnp.searchsorted(q_sorted, jnp.arange(M_))
     idx = starts[:, None] + jnp.arange(cap)[None, :]
@@ -293,8 +300,11 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
     pidx = jnp.where(plive, jnp.clip(m_base + slots, 0, Nk - 1), Nk)
     d_old = patches[jnp.clip(pidx, 0, Nk - 1)][:, 2, 0, 0]
     d_new = d_old + dZ
-    d_new = jnp.where(d_new > 20.0, 1.0, d_new)
-    d_new = jnp.maximum(d_new, 1e-4)
+    if cfg.depth_clamp == "train":
+        d_new = jnp.clip(d_new, 1e-3, 10.0)
+    else:
+        d_new = jnp.where(d_new > 20.0, 1.0, d_new)
+        d_new = jnp.maximum(d_new, 1e-4)
     d_new = jnp.where(plive, d_new, d_old)
     P = patches.shape[-1]
     patches = jnp.concatenate(
@@ -315,7 +325,7 @@ def bundle_adjust(poses, patches, intrinsics, target, weight, lam,
 
 def _bundle_adjust_impl(poses, patches, intrinsics, target, weight, lam,
                         ii, jj, kk, valid, t0, t1, m_base, cfg: BAConfig,
-                        patches_est=None, ar=None):
+                        patches_est=None, ar=None, patch_table=None):
     """Run cfg.iterations Gauss-Newton steps (the `fastba.BA` entry point).
 
     poses:      [N, 7] fp32 (w2c);     patches: [Nk, 3, P, P]
@@ -330,8 +340,7 @@ def _bundle_adjust_impl(poses, patches, intrinsics, target, weight, lam,
     if patches_est is not None:
         patches_est = patches_est.astype(jnp.float32)
 
-    patch_table = None
-    if cfg.per_patch_cap is not None:
+    if patch_table is None and cfg.per_patch_cap is not None:
         q = kk - m_base
         okq = (q >= 0) & (q < cfg.patch_slots)
         patch_table = _group_by_patch(q, okq, cfg.patch_slots,

@@ -76,7 +76,7 @@ def segment_softmax_weighted_sum(f, g, seg_ids, num_segments, valid=None):
     return y[seg_ids].astype(dtype)
 
 
-def neighbors(kk, jj, valid=None, pad_value=-1):
+def neighbors(kk, jj, valid=None, pad_value=-1, order=None):
     """Previous/next edge indices within each patch group, ordered by jj.
 
     For every edge e, find the edge with the same patch id kk[e] whose target
@@ -88,6 +88,13 @@ def neighbors(kk, jj, valid=None, pad_value=-1):
     Implementation: one stable sort over the composite key (valid, kk, jj),
     then neighbor links between consecutive sorted entries that share kk.
     Invalid (padded) edges sort to the end and receive -1 links.
+
+    order: optional precomputed stable ordering by (invalid, kk) — valid
+    ONLY when each patch's edges already appear in ascending-jj table
+    order. The SLAM edge table guarantees this by construction (edges are
+    appended target-ascending; compaction and eviction are stable), letting
+    `slam.steps` share ONE argsort between this and the BA patch grouping
+    (TPU sorts cost ~10 ms per 221k rows; see scripts/sort_micro.py).
     """
     E = kk.shape[0]
     kk = kk.astype(jnp.int32)
@@ -95,12 +102,13 @@ def neighbors(kk, jj, valid=None, pad_value=-1):
     if valid is None:
         valid = jnp.ones((E,), dtype=bool)
 
-    # lexicographic stable sort by (invalid, kk, jj) via two cascaded
-    # stable argsorts (the invalid flag folds into the kk key; a single
-    # composite key would overflow int32 at full buffer sizes)
-    kk_key = jnp.where(valid, kk, jnp.int32(1 << 30))
-    order = jnp.argsort(jj, stable=True)
-    order = order[jnp.argsort(kk_key[order], stable=True)]
+    if order is None:
+        # lexicographic stable sort by (invalid, kk, jj) via two cascaded
+        # stable argsorts (the invalid flag folds into the kk key; a single
+        # composite key would overflow int32 at full buffer sizes)
+        kk_key = jnp.where(valid, kk, jnp.int32(1 << 30))
+        order = jnp.argsort(jj, stable=True)
+        order = order[jnp.argsort(kk_key[order], stable=True)]
     kk_s = kk[order]
     valid_s = valid[order]
 
@@ -126,8 +134,15 @@ def compact_valid(valid):
     Returns (perm, n_valid): applying arrays[perm] packs live edges first
     while preserving creation order — the fixed-shape replacement for the
     reference's boolean-mask compaction (`dpvo/dpvo.py:349-364`).
+
+    Sort-free: a stable two-way partition is rank arithmetic — two cumsums
+    and one int32 scatter instead of an O(E log^2 E) bitonic argsort.
     """
     E = valid.shape[0]
-    key = jnp.where(valid, jnp.arange(E), E + jnp.arange(E))
-    perm = jnp.argsort(key, stable=True)
-    return perm, jnp.sum(valid.astype(jnp.int32))
+    vi = valid.astype(jnp.int32)
+    c = jnp.cumsum(vi)
+    n_valid = c[-1]
+    pos = jnp.where(valid, c - 1, n_valid + jnp.cumsum(1 - vi) - 1)
+    perm = jnp.zeros((E,), jnp.int32).at[pos].set(
+        jnp.arange(E, dtype=jnp.int32))
+    return perm, n_valid

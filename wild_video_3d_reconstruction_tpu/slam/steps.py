@@ -28,7 +28,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ba.gauss_newton import BAConfig, bundle_adjust
+from ..ba.gauss_newton import (BAConfig, _bundle_adjust_impl,
+                               _group_by_patch, bundle_adjust)
 from ..models import vonet
 from ..models.update import update_forward
 from ..models.vonet import DIM, P, RES
@@ -163,9 +164,11 @@ def insert_frame(cfg, params, state: SLAMState, image, intrinsics, key, fac,
 # shared: run the update operator over an edge list
 # ---------------------------------------------------------------------------
 
-def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n):
+def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n,
+                    order=None):
     """reproject -> correlate -> update operator. Returns
-    (net', delta, weight, coords)."""
+    (net', delta, weight, coords). order: optional shared stable ordering
+    by (invalid, kk) for the neighbor links (see update_op)."""
     M = cfg.PATCHES_PER_FRAME
     pmem = cfg.pmem
     fd = _feat_dtype(cfg)
@@ -201,7 +204,7 @@ def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n):
     lj = jnp.clip(jj - fb, 0, FW)
     ij_seg = jnp.where(valid, li * (FW + 1) + lj, (FW + 1) * (FW + 1))
 
-    nbr_ix, nbr_jx = neighbors(kk, jj, valid=valid)
+    nbr_ix, nbr_jx = neighbors(kk, jj, valid=valid, order=order)
 
     net2, delta, weight = update_forward(
         params["update"], net.astype(fd), ctx.astype(fd), corr.astype(fd),
@@ -375,18 +378,30 @@ def update_op(cfg, params, state: SLAMState, t0):
         inert)."""
         def f(_):
             sl = slice(None, n_rows)
+            kk_sl, valid_sl = state.kk[sl], state.valid[sl]
+            # ONE shared stable sort by (dead, kk) serves both the
+            # neighbor links (within-patch order is ascending-jj by
+            # construction) and the BA per-patch gather table — TPU
+            # argsorts cost ~10 ms each at default-config tiers
+            # (scripts/sort_micro.py); this fuses 3 of them into 1.
+            q = kk_sl - m_base
+            okv = valid_sl & (q >= 0) & (q < cfg.patch_slots)
+            order = jnp.argsort(jnp.where(okv, kk_sl, jnp.int32(1 << 30)),
+                                stable=True)
             net2, delta, weight, coords = _run_update_net(
                 cfg, params, state, state.net[sl], state.ii[sl],
-                state.jj[sl], state.kk[sl], state.valid[sl], n)
+                state.jj[sl], kk_sl, valid_sl, n, order=order)
             target = coords[:, P // 2, P // 2, :].astype(jnp.float32) + \
                 delta.astype(jnp.float32)
             weight = weight.astype(jnp.float32) * \
-                state.valid[sl][:, None]
-            poses, patches = bundle_adjust(
+                valid_sl[:, None]
+            table = _group_by_patch(q, okv, cfg.patch_slots,
+                                    ba_cfg.per_patch_cap, order=order)
+            poses, patches = _bundle_adjust_impl(
                 state.poses, state.patches, state.intrinsics[0], target,
-                weight, 1e-4, state.ii[sl], state.jj[sl], state.kk[sl],
-                state.valid[sl], t0, n, m_base, ba_cfg,
-                patches_est=state.patches_est)
+                weight, 1e-4, state.ii[sl], state.jj[sl], kk_sl,
+                valid_sl, t0, n, m_base, ba_cfg,
+                patches_est=state.patches_est, patch_table=table)
             pad = state.ii.shape[0] - n_rows
             return (jnp.pad(net2, ((0, pad), (0, 0))),
                     jnp.pad(target, ((0, pad), (0, 0))),

@@ -38,18 +38,32 @@ class TrainConfig(NamedTuple):
     steps: int = 4           # unrolled update iterations
     edge_dropout: float = 0.1
     ba_iters: int = 2
+    # Schur-system diagonal epsilon: the reference trains with ep=10
+    # (`dpvo/net.py:238-241`), not the inference kernel's 1.0
+    ba_ep: float = 10.0
+    # include i == j edges like the reference's training graph
+    # (`net.py:227`: jj ranges over ALL window frames); they carry no
+    # supervision (dij > 0 mask) but do shape the update operator state
+    self_edges: bool = False
 
 
-def _patchify_clip(params, images, disps, key, tc: TrainConfig):
-    """Encode all frames + select/gather patches. images: [T, H, W, 3]."""
+def _patchify_clip(params, images, disps, key, tc: TrainConfig,
+                   patch_coords=None):
+    """Encode all frames + select/gather patches. images: [T, H, W, 3].
+
+    patch_coords: optional [T, M, 2] injected centers (parity tests /
+    deterministic debugging); None = random selection."""
     T = images.shape[0]
     feats = jax.vmap(lambda im: vonet.encode_frame(params, im,
                                                    jnp.float32))(images)
     h4, w4 = feats.fmap.shape[1], feats.fmap.shape[2]
 
-    keys = jax.random.split(key, T)
-    coords = jax.vmap(lambda k: vonet.select_patches(k, tc.patches, h4, w4)
-                      )(keys)                                # [T, M, 2]
+    if patch_coords is None:
+        keys = jax.random.split(key, T)
+        coords = jax.vmap(lambda k: vonet.select_patches(k, tc.patches, h4,
+                                                         w4))(keys)
+    else:
+        coords = jnp.asarray(patch_coords, jnp.float32)      # [T, M, 2]
 
     def gather_one(f, i, im, c, dsp):
         return vonet.gather_patches(vonet.FrameFeatures(f, i), im, c, dsp)
@@ -60,7 +74,8 @@ def _patchify_clip(params, images, disps, key, tc: TrainConfig):
 
 
 def vonet_training_forward(params, images, poses_gt, disps, intrinsics, key,
-                           tc: TrainConfig):
+                           tc: TrainConfig, patch_coords=None,
+                           init_depths=None):
     """Returns a list of per-step supervision dicts.
 
     images:     [T, H, W, 3] uint8
@@ -72,7 +87,7 @@ def vonet_training_forward(params, images, poses_gt, disps, intrinsics, key,
     k_patch, k_depth, k_drop = jax.random.split(key, 3)
 
     feats, imap_p, gmap_p, patches = _patchify_clip(
-        params, images, disps, k_patch, tc)
+        params, images, disps, k_patch, tc, patch_coords=patch_coords)
     fmap1 = feats.fmap                                   # [T, h4, w4, C]
     fmap2 = avg_pool2d(feats.fmap, 4)
     imap_flat = imap_p.reshape(T * M, DIM)
@@ -81,16 +96,17 @@ def vonet_training_forward(params, images, poses_gt, disps, intrinsics, key,
     patches_gt = patches
 
     # random initial inverse depths (`net.py:224-225`)
-    d0 = jax.random.uniform(k_depth, (T * M,))
+    d0 = (jax.random.uniform(k_depth, (T * M,)) if init_depths is None
+          else jnp.asarray(init_depths, jnp.float32))
     patches = patches.at[:, 2].set(
         jnp.broadcast_to(d0[:, None, None], (T * M, P, P)))
 
-    # all-pairs edges within the window
+    # all-pairs edges within the window (reference order: kk-major)
     src = jnp.repeat(jnp.arange(T), M)
     ii = jnp.repeat(src[:, None], T, 1).reshape(-1)
     jj = jnp.tile(jnp.arange(T), T * M)
     kk = jnp.repeat(jnp.arange(T * M), T)
-    keep = ii != jj
+    keep = jnp.ones((T * M * T,), bool) if tc.self_edges else (ii != jj)
     E = T * M * T
 
     intr4 = intrinsics / RES
@@ -99,7 +115,8 @@ def vonet_training_forward(params, images, poses_gt, disps, intrinsics, key,
     net = jnp.zeros((E, DIM))
 
     ba_cfg = BAConfig(window=T, patch_slots=T * M, iterations=tc.ba_iters,
-                      bounds_margin=64.0, per_patch_cap=T)
+                      bounds_margin=64.0, per_patch_cap=T, ep=tc.ba_ep,
+                      depth_clamp="train")
 
     nbr_ix, nbr_jx = neighbors(kk, jj, valid=keep)
     ij_seg = ii * T + jj
