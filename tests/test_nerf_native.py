@@ -203,10 +203,44 @@ def test_pose_refinement_beats_frozen_poses_under_noise():
               holdout=4, log=lambda *a: None, app_dim=4)
     _, _, frozen = tn.train_refine(images, noisy, intrs, conv,
                                    refine_pose=False, **kw)
+    # iid per-view noise with EXACT eval poses -> the raw gauge is the
+    # right evaluator (interpolating anti-noise deltas onto exact eval
+    # cameras would add error)
     _, _, refined = tn.train_refine(images, noisy, intrs, conv,
-                                    refine_pose=True, **kw)
+                                    refine_pose=True, eval_gauge="raw",
+                                    **kw)
     assert refined["psnr"] > frozen["psnr"] + 0.5, (frozen, refined)
     assert 0.0 < refined["pose_delta_rms"] < 0.1, refined
+
+
+def test_pose_refinement_interp_gauge_under_drift():
+    """The round-2 regression regime: SMOOTH trajectory error shared by
+    train AND eval views (SLAM drift). With the interpolated-gauge
+    evaluator (default), refinement must not lose PSNR against the
+    frozen-pose run — held-out cameras ride the refined trajectory."""
+    from wild_video_3d_reconstruction_tpu.nerf import ngp
+    from wild_video_3d_reconstruction_tpu.nerf import train_native as tn
+
+    images, c2ws, intrs, conv = tn.synth_scene(seed=13, frames=8,
+                                               ht=24, wd=32)
+    n = len(c2ws)
+    drift = np.array(c2ws)
+    for i in range(n):
+        s = i / max(n - 1, 1)                       # smooth ramp
+        w = np.array([0.05, -0.03, 0.02]) * s
+        t = np.array([0.05, 0.04, -0.05]) * s
+        drift[i, :3, :3] = drift[i, :3, :3] @ np.asarray(
+            ngp.rodrigues(jnp.asarray(w, jnp.float32)))
+        drift[i, :3, 3] += t
+
+    kw = dict(steps=250, batch=768, n_coarse=16, n_fine=8,
+              table_size=2 ** 12, max_res=128, levels=5, eval_every=250,
+              holdout=4, log=lambda *a: None, app_dim=4)
+    _, _, frozen = tn.train_refine(images, drift, intrs, conv,
+                                   refine_pose=False, **kw)
+    _, _, refined = tn.train_refine(images, drift, intrs, conv,
+                                    refine_pose=True, **kw)
+    assert refined["psnr"] >= frozen["psnr"] - 0.2, (frozen, refined)
 
 
 def test_eval_pose_alignment_recovers_perturbed_eval_views():

@@ -119,6 +119,115 @@ def lk_flow_pyramid(img_i, img_j, x0, y0, flow_init, levels=3):
 
 
 # ---------------------------------------------------------------------------
+# correlation-lookup flow (the RAFT/DROID `corr_index` path)
+# ---------------------------------------------------------------------------
+
+class CorrFlow:
+    """Flow provider over learned features + the `corr_index` lookup.
+
+    Replaces the classical LK fallback with the reference's native lookup
+    family (`src/correlation_kernels.cu:20-124`): encode both frames with
+    the VONet matching encoder (1/4 resolution), build each grid point's
+    correlation map against the whole target feature map (one MXU
+    matmul), average-pool a pyramid, then refine the reprojection seed
+    coarse-to-fine by quadratic-interpolated peak search through
+    `ops.dense.corr_index` windows.
+    """
+
+    def __init__(self, params, gx, gy, radius=3, levels=3, iters=2):
+        from ..models import vonet
+        from ..ops import dense as dops2
+
+        self.gx, self.gy = gx, gy
+        self.radius = radius
+        self.levels = levels
+        self._cache = {}
+
+        fs = 4.0                                       # feature stride
+
+        @jax.jit
+        def encode(img):
+            return vonet.encode_frame(params, img, jnp.float32).fmap
+
+        def box3(f):
+            # 3x3 mean over the feature grid: patch-level aggregation
+            # lifts the correlation SNR (random or learned features)
+            s = jnp.pad(f, ((1, 1), (1, 1), (0, 0)))
+            f = sum(s[dy:dy + f.shape[0], dx:dx + f.shape[1]]
+                    for dy in range(3) for dx in range(3)) / 9.0
+            # NCC conditioning: remove the map-wide common component and
+            # normalize each cell — raw encoder activations share a large
+            # DC term that flattens the correlation landscape
+            f = f - jnp.mean(f, axis=(0, 1), keepdims=True)
+            return f / jnp.maximum(
+                jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-6)
+
+        @jax.jit
+        def flow(fmap_i, fmap_j, seed_xy):
+            from ..ops.patchify import patchify
+            fmap_i = box3(fmap_i)
+            fmap_j = box3(fmap_j)
+            M = gx.shape[0]
+            pts = jnp.stack([gx, gy], -1) / fs          # feature scale
+            f_pts = patchify(fmap_i, pts, 0)[:, :, 0, 0]   # [M, C]
+            C = f_pts.shape[-1]
+            h, w = fmap_j.shape[0], fmap_j.shape[1]
+            vol = (f_pts @ fmap_j.reshape(-1, C).T /
+                   jnp.sqrt(jnp.float32(C))).reshape(1, M, 1, h, w)
+            pyr = dops2.corr_pyramid(vol, num_levels=levels)
+            est = seed_xy / fs                          # [M, 2]
+            rd = 2 * radius + 1
+            dgrid = jnp.arange(rd, dtype=jnp.float32) - radius
+            for lvl in range(levels - 1, -1, -1):
+                v = pyr[lvl]
+                for _ in range(iters):
+                    c = (est / (2.0 ** lvl)).T.reshape(1, 2, M, 1)
+                    win = dops2.corr_index(v, c, radius)[0, :, :, :, 0]
+                    win = win.transpose(2, 0, 1)        # [M, i(x), j(y)]
+                    flat = win.reshape(M, -1)
+                    p = jnp.argmax(flat, axis=1)
+                    px = (p // rd).astype(jnp.int32)    # x index
+                    py = (p % rd).astype(jnp.int32)
+                    # quadratic sub-cell refinement per axis
+                    def q(vm1, v0, vp1):
+                        den = vm1 - 2 * v0 + vp1
+                        off = 0.5 * (vm1 - vp1) / jnp.where(
+                            jnp.abs(den) > 1e-6, den, 1.0)
+                        return jnp.clip(jnp.where(jnp.abs(den) > 1e-6,
+                                                  off, 0.0), -0.5, 0.5)
+                    em = jnp.arange(M)
+                    pxc = jnp.clip(px, 1, rd - 2)
+                    pyc = jnp.clip(py, 1, rd - 2)
+                    sx = q(win[em, pxc - 1, py], win[em, pxc, py],
+                           win[em, pxc + 1, py])
+                    sy = q(win[em, px, pyc - 1], win[em, px, pyc],
+                           win[em, px, pyc + 1])
+                    dx = dgrid[px] + jnp.where(px == pxc, sx, 0.0)
+                    dy = dgrid[py] + jnp.where(py == pyc, sy, 0.0)
+                    # flat / out-of-reach windows have no discriminative
+                    # peak; argmax would return cell 0 and drift (-r, -r)
+                    ok = flat[em, p] > flat.mean(axis=1) + 1e-6
+                    dx = jnp.where(ok, dx, 0.0)
+                    dy = jnp.where(ok, dy, 0.0)
+                    est = est + jnp.stack([dx, dy], -1) * (2.0 ** lvl)
+            return (est - pts) * fs                     # full-res flow
+
+        self._encode = encode
+        self._flow = flow
+
+    def _feat(self, img):
+        key = id(img)
+        if key not in self._cache:
+            if len(self._cache) > 16:
+                self._cache.clear()
+            self._cache[key] = self._encode(jnp.asarray(img))
+        return self._cache[key]
+
+    def __call__(self, img_i, img_j, seed_xy):
+        return self._flow(self._feat(img_i), self._feat(img_j), seed_xy)
+
+
+# ---------------------------------------------------------------------------
 # dense VO loop (DROID-style frontend over ops.dense)
 # ---------------------------------------------------------------------------
 
@@ -132,7 +241,8 @@ class DenseVO:
     """
 
     def __init__(self, ht, wd, intrinsics, buffer=256, stride=8,
-                 kf_thresh=2.4, window=6, flow_fn=None):
+                 kf_thresh=2.4, window=6, flow_fn=None, flow="corr",
+                 params=None):
         self.ht, self.wd = ht, wd
         self.stride = stride
         self.window = window
@@ -144,13 +254,25 @@ class DenseVO:
         self.images = np.zeros((buffer, ht, wd, 3), np.uint8)
         self.tstamps = []
         self.n = 0
-        self.flow_fn = flow_fn or self._lk
 
         ys = np.arange(stride // 2, ht, stride)
         xs = np.arange(stride // 2, wd, stride)
         gy, gx = np.meshgrid(ys, xs, indexing="ij")
         self.gx = jnp.asarray(gx.reshape(-1), jnp.float32)
         self.gy = jnp.asarray(gy.reshape(-1), jnp.float32)
+
+        if flow_fn is not None:
+            self.flow_fn = flow_fn
+        elif flow == "corr":
+            # learned-features path (`corr_index` lookup); random init
+            # still correlates local structure usefully when no
+            # checkpoint is available
+            if params is None:
+                from ..models.vonet import init_vonet
+                params = init_vonet(jax.random.PRNGKey(0))
+            self.flow_fn = CorrFlow(params, self.gx, self.gy)
+        else:
+            self.flow_fn = self._lk
 
     # -- flow provider -----------------------------------------------------
     def _lk(self, img_i, img_j, seed_xy):

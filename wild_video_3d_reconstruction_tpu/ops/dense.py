@@ -15,6 +15,11 @@ eat these shapes directly; no custom kernels needed at /8 resolution):
                    expressed through the shared `ba.bundle_adjust` over a
                    regular pixel grid (one "patch" per stride-s pixel, with
                    the depth-sensor regularization term alpha)
+  corr_volume /    the RAFT-style lookup family (`src/correlation_kernels.cu:
+  corr_pyramid /   20-124` corr_index_forward): all-pairs feature correlation
+  corr_index       volume, average-pooled pyramid, and per-pixel bilinear
+                   window sampling — the one native kernel family that had
+                   no TPU counterpart through round 2
 """
 
 from __future__ import annotations
@@ -167,3 +172,93 @@ def dense_ba(poses, disps, intrinsics, targets, weights, ii, jj,
     if alpha > 0 and disps_sens is not None:
         disps_out = (1 - alpha) * disps_out + alpha * disps_sens
     return poses, disps_out
+
+
+# ---------------------------------------------------------------------------
+# RAFT-style correlation lookup (`src/correlation_kernels.cu:20-124`)
+# ---------------------------------------------------------------------------
+
+def corr_volume(fmap1, fmap2):
+    """All-pairs correlation volume.
+
+    fmap1: [N, h1, w1, C]; fmap2: [N, h2, w2, C] (channel-last); returns
+    [N, h1, w1, h2, w2] = <f1, f2> / sqrt(C) — the volume the DROID
+    CorrBlock materializes before pyramid pooling (one MXU matmul per
+    pair; at /8 resolution the volume is a few tens of MB).
+    """
+    N, h1, w1, C = fmap1.shape
+    h2, w2 = fmap2.shape[1], fmap2.shape[2]
+    a = fmap1.reshape(N, h1 * w1, C)
+    b = fmap2.reshape(N, h2 * w2, C)
+    v = jnp.einsum("nic,njc->nij", a, b,
+                   preferred_element_type=jnp.float32)
+    return (v / jnp.sqrt(jnp.float32(C))).reshape(N, h1, w1, h2, w2)
+
+
+def corr_pyramid(volume, num_levels=4):
+    """Average-pool the TARGET dims by 2 per level (RAFT pyramid)."""
+    N, h1, w1, h2, w2 = volume.shape
+    out = [volume]
+    v = volume
+    for _ in range(num_levels - 1):
+        h2, w2 = v.shape[3] // 2, v.shape[4] // 2
+        v = v.reshape(N, h1, w1, h2, 2, w2, 2).mean(axis=(4, 6))
+        out.append(v)
+    return out
+
+
+def corr_index(volume, coords, radius):
+    """Bilinear (2r+1)x(2r+1) window sampling of each source pixel's
+    correlation slice — exact semantics of `corr_index_forward_kernel`
+    (`src/correlation_kernels.cu:20-70`), including zero padding outside
+    the target image.
+
+    volume: [N, h1, w1, h2, w2]; coords: [N, 2, h1, w1] as (x, y) in the
+    target grid of THIS level. Returns [N, rd, rd, h1, w1] with
+    out[n, i, j, y, x] = bilinear(volume[n, y, x] at
+    (x0 - r + i, y0 - r + j)).
+    """
+    N, h1, w1, h2, w2 = volume.shape
+    rd = 2 * radius + 1
+    x0 = coords[:, 0]                                     # [N, h1, w1]
+    y0 = coords[:, 1]
+    xf = jnp.floor(x0)
+    yf = jnp.floor(y0)
+    dx = (x0 - xf)[..., None, None]                       # [N,h1,w1,1,1]
+    dy = (y0 - yf)[..., None, None]
+
+    offs = jnp.arange(rd + 1, dtype=jnp.int32) - radius
+    xs = xf.astype(jnp.int32)[..., None, None] + offs[None, None, None,
+                                                      None, :]
+    ys = yf.astype(jnp.int32)[..., None, None] + offs[None, None, None, :,
+                                                      None]
+    xs = jnp.broadcast_to(xs, (N, h1, w1, rd + 1, rd + 1))
+    ys = jnp.broadcast_to(ys, (N, h1, w1, rd + 1, rd + 1))
+    inb = (xs >= 0) & (xs < w2) & (ys >= 0) & (ys < h2)
+    flat = jnp.clip(ys, 0, h2 - 1) * w2 + jnp.clip(xs, 0, w2 - 1)
+
+    vol = volume.reshape(N, h1, w1, h2 * w2)
+    win = jnp.take_along_axis(
+        vol, flat.reshape(N, h1, w1, -1), axis=3
+    ).reshape(N, h1, w1, rd + 1, rd + 1)
+    win = jnp.where(inb, win, 0.0)                        # [.., j(y), i(x)]
+
+    out = ((1 - dx) * (1 - dy) * win[..., :rd, :rd]
+           + dx * (1 - dy) * win[..., :rd, 1:]
+           + (1 - dx) * dy * win[..., 1:, :rd]
+           + dx * dy * win[..., 1:, 1:])                  # [N,h1,w1,j,i]
+    return jnp.transpose(out, (0, 4, 3, 1, 2))            # [N, i, j, h1, w1]
+
+
+def corr_lookup_pyramid(pyramid, coords, radius):
+    """Stacked multi-level lookup (DROID `CorrBlock.__call__`): sample
+    every level at coords / 2^l and concatenate the windows.
+
+    Returns [N, L * rd * rd, h1, w1].
+    """
+    outs = []
+    for lvl, vol in enumerate(pyramid):
+        c = coords / (2.0 ** lvl)
+        outs.append(corr_index(vol, c, radius))
+    N, rd, _, h1, w1 = outs[0].shape
+    return jnp.concatenate([o.reshape(N, -1, h1, w1) for o in outs], axis=1)
