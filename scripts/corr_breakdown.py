@@ -89,33 +89,13 @@ def main():
     print(f"g gather+pad+slot-sort:     {t:8.2f} ms")
     g_slots = jnp.asarray(f_g())
 
-    # surfaces kernel alone (level 1 geometry)
-    def surf_only():
-        fmap_pad = jnp.pad(fmap1.astype(jnp.bfloat16),
-                           ((0, 0), (pc.PAD, pc.PAD), (pc.PAD, pc.PAD),
-                            (0, 0)))
-        ystart = jnp.floor(coords[..., 1]).astype(jnp.int32) - 3 + pc.PAD
-        xstart = jnp.floor(coords[..., 0]).astype(jnp.int32) - 3 + pc.PAD
-        ystart = ystart.reshape(E, 9)
-        xstart = xstart.reshape(E, 9)
-        Hp, Wp = H + 2 * pc.PAD, W + 2 * pc.PAD
-        oy = jnp.clip(jnp.min(ystart, axis=1), 0, Hp - pc.RSH)
-        ox = jnp.clip((jnp.min(xstart, axis=1) // 16) * 16, 0,
-                      ((Wp - pc.RSW) // 16) * 16)
-        origin = jnp.stack([oy, ox], axis=-1)
-        origin = jnp.concatenate([origin, jnp.zeros((1, 2), jnp.int32)],
-                                 axis=0)
-        return pc._surfaces(fmap_pad, block_meta, origin[slot_edge],
-                            g_slots, n_slots)
-    t = timeit(jax.jit(surf_only))
-    print(f"surface kernel (level 1):   {t:8.2f} ms")
-
-    # one full level
-    f_lvl = jax.jit(lambda: pc._pallas_corr_level(
-        g_slots, fmap1.astype(jnp.bfloat16), coords, jj, n_slots,
-        bucketing))
-    t = timeit(f_lvl)
-    print(f"full level 1 (k+extract):   {t:8.2f} ms")
+    # surfaces kernels alone (both levels, via the diagnostic flag — the
+    # same traced path the production call compiles)
+    f_surf = jax.jit(lambda: pc.patch_corr_pyramid_pallas(
+        gmap, (fmap1, fmap2), coords, kk, jj, radius=3, valid=valid,
+        _surfaces_only=True))
+    t = timeit(f_surf)
+    print(f"surface kernels (2 levels): {t:8.2f} ms")
 
     # complete 2-level path
     f_all = jax.jit(lambda: pc.patch_corr_pyramid_pallas(

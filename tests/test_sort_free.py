@@ -101,3 +101,29 @@ def test_neighbors_shared_order_on_evolved_state():
                                       np.asarray(jx_ref))
         checked += 1
     assert checked >= 3
+
+
+def test_segment_softmax_table_matches_scatter():
+    """The member-table SoftAgg formulation equals the scatter-segment
+    formulation (same per-segment max stabilization)."""
+    from wild_video_3d_reconstruction_tpu.ba.gauss_newton import \
+        _group_by_patch
+    from wild_video_3d_reconstruction_tpu.ops.segment import (
+        segment_softmax_weighted_sum, segment_softmax_weighted_sum_table)
+
+    rng = np.random.default_rng(3)
+    E, S, D, cap = 300, 40, 16, 32
+    seg = jnp.asarray(rng.integers(0, S, E), jnp.int32)
+    valid = jnp.asarray(rng.random(E) < 0.8)
+    f = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+
+    ref = segment_softmax_weighted_sum(f, g, seg, S, valid=valid)
+    table = _group_by_patch(seg, valid, S, cap)
+    out = segment_softmax_weighted_sum_table(f, g, table, seg, valid)
+    # the formulations differ only on INVALID rows (scatter reads back
+    # the segment value, table reads zero) — both are inert downstream
+    # (invalid edges carry zero weight); compare the live rows
+    v = np.asarray(valid)
+    np.testing.assert_allclose(np.asarray(out)[v], np.asarray(ref)[v],
+                               atol=1e-5, rtol=1e-5)

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.segment import (segment_softmax_weighted_sum,
-                           segment_softmax_weighted_sum_dense)
+                           segment_softmax_weighted_sum_dense,
+                           segment_softmax_weighted_sum_table)
 from .layers import (gradient_clip, init_layer_norm, init_linear, layer_norm,
                      linear)
 
@@ -46,15 +47,21 @@ def _gated_residual(params, x):
     return x + gate * res
 
 
-def _soft_agg(params, x, seg_ids, num_segments, valid):
+def _soft_agg(params, x, seg_ids, num_segments, valid, table=None):
     """SoftAgg (`dpvo/blocks.py:31-48`) with bounded segment ids.
 
     Uses the one-hot-matmul formulation when the segment count is modest
-    (always true for the sliding-window SLAM groups) — TPU scatters are an
-    order of magnitude slower than the equivalent MXU matmuls."""
+    (always true for the frame-pair groups) — TPU scatters are an order
+    of magnitude slower than the equivalent MXU matmuls. For large
+    segment counts (the per-patch groups at big configs), a precomputed
+    [S, cap] member table turns every reduction into a dense axis
+    reduction (`segment_softmax_weighted_sum_table`); the scatter
+    formulation remains the fallback."""
     f = linear(params["f"], x)
     g = linear(params["g"], x)
-    if num_segments <= 4096:
+    if table is not None:
+        y = segment_softmax_weighted_sum_table(f, g, table, seg_ids, valid)
+    elif num_segments <= 4096:
         y = segment_softmax_weighted_sum_dense(f, g, seg_ids, num_segments,
                                                valid=valid)
     else:
@@ -64,7 +71,7 @@ def _soft_agg(params, x, seg_ids, num_segments, valid):
 
 
 def update_forward(params, net, inp, corr, kk_seg, ij_seg, nbr_ix, nbr_jx,
-                   valid, num_kk_segments, num_ij_segments):
+                   valid, num_kk_segments, num_ij_segments, kk_table=None):
     """One update step over all (padded) edges.
 
     net:   [E, 384] edge hidden state
@@ -86,7 +93,8 @@ def update_forward(params, net, inp, corr, kk_seg, ij_seg, nbr_ix, nbr_jx,
     net = net + _mlp2(params["c1"], mask_ix * net[jnp.clip(nbr_ix, 0, None)])
     net = net + _mlp2(params["c2"], mask_jx * net[jnp.clip(nbr_jx, 0, None)])
 
-    net = net + _soft_agg(params["agg_kk"], net, kk_seg, num_kk_segments, valid)
+    net = net + _soft_agg(params["agg_kk"], net, kk_seg, num_kk_segments,
+                          valid, table=kk_table)
     net = net + _soft_agg(params["agg_ij"], net, ij_seg, num_ij_segments, valid)
 
     net = layer_norm(params["gru"]["0"], net, eps=1e-3)

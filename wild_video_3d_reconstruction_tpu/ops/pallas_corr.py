@@ -510,7 +510,8 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
 
 
 def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
-                              valid=None, levels=(1, 4), fused=False):
+                              valid=None, levels=(1, 4), fused=False,
+                              _surfaces_only=False):
     """Drop-in replacement for `ops.corr.patch_corr_pyramid` (radius 3).
 
     gmap: [Ek, C, P, P]; pyramid: per-level [F, H_l, W_l, C] channel-last;
@@ -541,6 +542,33 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
     kk_pad = jnp.concatenate(
         [kk.astype(jnp.int32), jnp.full((1,), S, jnp.int32)])
     g_slots = g_small[kk_pad[slot_edge]]
+
+    if _surfaces_only:
+        # perf-diagnostic path (scripts/corr_breakdown.py): run only the
+        # surface kernels + a cheap reduction, isolating kernel time from
+        # the masked-shift extraction
+        acc = 0.0
+        for fmap, s in zip(pyramid, levels):
+            c = coords.astype(jnp.float32) / s
+            F2, H2, W2, C2 = fmap.shape
+            pad_h = max(PAD, RSH - (H2 + PAD))
+            pad_w = max(PAD, RSW - (W2 + PAD))
+            fmap_pad = jnp.pad(fmap.astype(jnp.bfloat16),
+                               ((0, 0), (PAD, pad_h), (PAD, pad_w),
+                                (0, 0)))
+            ystart = jnp.floor(c[..., 1]).astype(jnp.int32) - 3 + PAD
+            xstart = jnp.floor(c[..., 0]).astype(jnp.int32) - 3 + PAD
+            oy = jnp.clip(jnp.min(ystart.reshape(E, P2), axis=1), 0,
+                          H2 + PAD + pad_h - RSH)
+            ox = jnp.clip(
+                (jnp.min(xstart.reshape(E, P2), axis=1) // 16) * 16, 0,
+                ((W2 + PAD + pad_w - RSW) // 16) * 16)
+            origin = jnp.concatenate(
+                [jnp.stack([oy, ox], -1), jnp.zeros((1, 2), jnp.int32)])
+            surf = _surfaces(fmap_pad, bucketing[2], origin[slot_edge],
+                             g_slots, n_slots)
+            acc = acc + jnp.sum(surf[:, 0, 0].astype(jnp.float32))
+        return acc
 
     outs = []
     for fmap, s in zip(pyramid, levels):

@@ -76,6 +76,40 @@ def segment_softmax_weighted_sum(f, g, seg_ids, num_segments, valid=None):
     return y[seg_ids].astype(dtype)
 
 
+def segment_softmax_weighted_sum_table(f, g, table, seg_ids, valid):
+    """SoftAgg's scatter-softmax-sum through a per-segment edge TABLE.
+
+    table: [S, cap] edge ids (E = dummy), as built by
+    `ba.gauss_newton._group_by_patch` — each segment's members gathered
+    into a dense row. All reductions become axis-1 reductions over the
+    gathered [S, cap, D] tensors: no TPU scatters, no [E, S] one-hot
+    (the dense formulation materializes E x S fp32 — 8.5 GB at
+    default-config sizes — and the scatter formulation lowers to slow
+    TPU scatter-adds). Numerically the per-segment max stabilization of
+    `segment_softmax_weighted_sum`.
+
+    f, g: [E, D]; seg_ids: [E] (only used for the read-back gather;
+    rows not present in the table read back zeros).
+    """
+    dtype = f.dtype
+    E, D = f.shape
+    S = table.shape[0]
+    member = table < E                                    # [S, cap]
+    t = jnp.clip(table, 0, E - 1)
+    g32 = g.astype(jnp.float32)
+    f32 = f.astype(jnp.float32)
+    g_t = jnp.where(member[..., None], g32[t], -jnp.inf)  # [S, cap, D]
+    m = jnp.max(g_t, axis=1)                              # [S, D]
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.where(member[..., None], jnp.exp(g_t - m[:, None]), 0.0)
+    denom = jnp.maximum(e.sum(axis=1), 1e-12)             # [S, D]
+    y_seg = jnp.einsum("scd,scd->sd", e, f32[t] *
+                       member[..., None]) / denom         # [S, D]
+    y_seg = jnp.concatenate([y_seg, jnp.zeros((1, D), jnp.float32)])
+    sid = jnp.where(valid & (seg_ids < S), seg_ids, S)
+    return y_seg[sid].astype(dtype)
+
+
 def neighbors(kk, jj, valid=None, pad_value=-1, order=None):
     """Previous/next edge indices within each patch group, ordered by jj.
 

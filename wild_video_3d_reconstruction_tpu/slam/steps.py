@@ -165,10 +165,12 @@ def insert_frame(cfg, params, state: SLAMState, image, intrinsics, key, fac,
 # ---------------------------------------------------------------------------
 
 def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n,
-                    order=None):
+                    order=None, kk_table=None):
     """reproject -> correlate -> update operator. Returns
     (net', delta, weight, coords). order: optional shared stable ordering
-    by (invalid, kk) for the neighbor links (see update_op)."""
+    by (invalid, kk) for the neighbor links; kk_table: optional [S, cap]
+    per-patch member table reused for the SoftAgg patch groups (see
+    update_op — both derive from the same shared sort)."""
     M = cfg.PATCHES_PER_FRAME
     pmem = cfg.pmem
     fd = _feat_dtype(cfg)
@@ -209,7 +211,7 @@ def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n,
     net2, delta, weight = update_forward(
         params["update"], net.astype(fd), ctx.astype(fd), corr.astype(fd),
         kk_seg, ij_seg, nbr_ix, nbr_jx, valid,
-        cfg.patch_slots + 1, (FW + 1) * (FW + 1) + 1)
+        cfg.patch_slots + 1, (FW + 1) * (FW + 1) + 1, kk_table=kk_table)
     return net2, delta, weight, coords
 
 
@@ -289,9 +291,11 @@ def append_edges(cfg, state: SLAMState):
 
 def retire_and_compact(cfg, state: SLAMState):
     """Drop edges whose source fell out of the removal window, then stable-
-    compact the table (`dpvo/dpvo.py:657-658`). The sort only needs to
-    cover the live prefix — rows beyond n_edges are already invalid and
-    stay in place."""
+    compact the table (`dpvo/dpvo.py:657-658`). Both the compaction rank
+    AND the permutation gathers only touch the live prefix tier — rows
+    beyond it are dead and ride along as contiguous copies (the full-
+    capacity row gathers, dominated by net [E, 384], measured 13.6 ms at
+    default config)."""
     M = cfg.PATCHES_PER_FRAME
     n = state.n_frames
     E = state.valid.shape[0]
@@ -300,16 +304,22 @@ def retire_and_compact(cfg, state: SLAMState):
     def body(n_rows):
         def f(_):
             perm_p, n_valid = compact_valid(keep[:n_rows])
-            tail = jnp.arange(n_rows, E, dtype=perm_p.dtype)
-            return jnp.concatenate([perm_p, tail]), n_valid
+
+            def ap(a):
+                if n_rows == E:
+                    return a[perm_p]
+                return jnp.concatenate([a[:n_rows][perm_p], a[n_rows:]],
+                                       axis=0)
+
+            return (ap(state.ii), ap(state.jj), ap(state.kk), ap(keep),
+                    ap(state.net), ap(state.target), ap(state.weight),
+                    n_valid)
         return f
 
-    perm, n_valid = _run_tiered(state.n_edges, E, body,
-                            getattr(cfg, 'EDGE_TIERS', 2))
-    return state._replace(
-        ii=state.ii[perm], jj=state.jj[perm], kk=state.kk[perm],
-        valid=keep[perm], net=state.net[perm], target=state.target[perm],
-        weight=state.weight[perm], n_edges=n_valid)
+    ii, jj, kk, valid, net, target, weight, n_valid = _run_tiered(
+        state.n_edges, E, body, getattr(cfg, 'EDGE_TIERS', 2))
+    return state._replace(ii=ii, jj=jj, kk=kk, valid=valid, net=net,
+                          target=target, weight=weight, n_edges=n_valid)
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +398,13 @@ def update_op(cfg, params, state: SLAMState, t0):
             okv = valid_sl & (q >= 0) & (q < cfg.patch_slots)
             order = jnp.argsort(jnp.where(okv, kk_sl, jnp.int32(1 << 30)),
                                 stable=True)
+            table = _group_by_patch(q, okv, cfg.patch_slots,
+                                    ba_cfg.per_patch_cap, order=order)
+            # NOTE: the table is NOT passed as kk_table — the SoftAgg
+            # member-table formulation measured ~8 ms SLOWER than the
+            # scatter path at tier occupancy on v5e (update_op 108 -> 117
+            # ms, default config); it remains available for shapes where
+            # gathers beat scatter-adds
             net2, delta, weight, coords = _run_update_net(
                 cfg, params, state, state.net[sl], state.ii[sl],
                 state.jj[sl], kk_sl, valid_sl, n, order=order)
@@ -395,8 +412,6 @@ def update_op(cfg, params, state: SLAMState, t0):
                 delta.astype(jnp.float32)
             weight = weight.astype(jnp.float32) * \
                 valid_sl[:, None]
-            table = _group_by_patch(q, okv, cfg.patch_slots,
-                                    ba_cfg.per_patch_cap, order=order)
             poses, patches = _bundle_adjust_impl(
                 state.poses, state.patches, state.intrinsics[0], target,
                 weight, 1e-4, state.ii[sl], state.jj[sl], kk_sl,
@@ -426,22 +441,38 @@ def update_op(cfg, params, state: SLAMState, t0):
 def flow_metric(cfg, state: SLAMState, i, j):
     """Bidirectional mean flow magnitude between keyframes i and j over the
     live edges connecting them (`DPVO.motionmag`, `dpvo/dpvo.py:507-514`,
-    with beta=0.5 as used by `keyframe`)."""
+    with beta=0.5 as used by `keyframe`).
+
+    Only edges between the two named frames matter (at most ~2M of the
+    whole table), so the reprojection runs on a compacted [4M] buffer:
+    the O(E) part is one mask + one cumsum + one scatter (measured
+    8.2 -> ~1 ms at default-config tiers vs reprojecting every row)."""
+    M = cfg.PATCHES_PER_FRAME
+    B = 4 * M
+
     def body(n_rows):
         def f(_):
             sl = slice(None, n_rows)
             ii, jj, valid = state.ii[sl], state.jj[sl], state.valid[sl]
-            fm = pops.flow_mag(state.poses, state.patches, state.intrinsics,
-                               ii, jj, state.kk[sl],
-                               beta=0.5).mean(axis=(1, 2))
-
-            def masked_mean(m):
-                w = m.astype(jnp.float32)
-                return jnp.sum(fm * w) / jnp.maximum(w.sum(), 1.0)
-
             m_fwd = (ii == i) & (jj == j) & valid
             m_rev = (ii == j) & (jj == i) & valid
-            return masked_mean(m_fwd) + masked_mean(m_rev)
+            m = m_fwd | m_rev
+            r = jnp.cumsum(m.astype(jnp.int32)) - 1
+            pos = jnp.where(m & (r < B), r, B)
+            buf = jnp.full((B + 1,), n_rows, jnp.int32).at[pos].set(
+                jnp.arange(n_rows, dtype=jnp.int32), mode="drop")[:B]
+            ok = buf < n_rows
+            bc = jnp.clip(buf, 0, n_rows - 1)
+            fm = pops.flow_mag(state.poses, state.patches,
+                               state.intrinsics, ii[bc], jj[bc],
+                               state.kk[sl][bc],
+                               beta=0.5).mean(axis=(1, 2))
+
+            def masked_mean(w):
+                w = w.astype(jnp.float32)
+                return jnp.sum(fm * w) / jnp.maximum(w.sum(), 1.0)
+
+            return masked_mean(m_fwd[bc] & ok) + masked_mean(m_rev[bc] & ok)
         return f
 
     return _run_tiered(state.n_edges, state.ii.shape[0], body,
