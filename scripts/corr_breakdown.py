@@ -90,17 +90,20 @@ def main():
     g_slots = jnp.asarray(f_g())
 
     # surfaces kernels alone (both levels, via the diagnostic flag — the
-    # same traced path the production call compiles)
-    f_surf = jax.jit(lambda: pc.patch_corr_pyramid_pallas(
-        gmap, (fmap1, fmap2), coords, kk, jj, radius=3, valid=valid,
-        _surfaces_only=True))
-    t = timeit(f_surf)
+    # same traced path the production call compiles). Arrays ride as jit
+    # ARGUMENTS: closed-over constants embed in the HLO and blow the
+    # remote-compile request limit (observed HTTP 413 at ~80 MB).
+    f_surf = jax.jit(lambda g, f1, f2, c, k_, j_, v: (
+        pc.patch_corr_pyramid_pallas(g, (f1, f2), c, k_, j_, radius=3,
+                                     valid=v, _surfaces_only=True)))
+    t = timeit(lambda: f_surf(gmap, fmap1, fmap2, coords, kk, jj, valid))
     print(f"surface kernels (2 levels): {t:8.2f} ms")
 
     # complete 2-level path
-    f_all = jax.jit(lambda: pc.patch_corr_pyramid_pallas(
-        gmap, (fmap1, fmap2), coords, kk, jj, radius=3, valid=valid))
-    t = timeit(f_all)
+    f_all = jax.jit(lambda g, f1, f2, c, k_, j_, v: (
+        pc.patch_corr_pyramid_pallas(g, (f1, f2), c, k_, j_, radius=3,
+                                     valid=v)))
+    t = timeit(lambda: f_all(gmap, fmap1, fmap2, coords, kk, jj, valid))
     print(f"full pyramid (2 lvl+unsort):{t:8.2f} ms")
 
 

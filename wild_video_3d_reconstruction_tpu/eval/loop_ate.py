@@ -53,6 +53,20 @@ def revisit_gap(poses, tstamps, T):
     return float(np.median(gaps) / extent) if gaps else float("nan")
 
 
+def revisit_gap_lap(poses, tstamps, lap_len):
+    """Median ||p(t) - p(t - lap_len)|| / extent (multi-lap worlds: frame
+    t and t - lap_len share the exact waypoint)."""
+    tmap = {int(t): p for p, t in zip(poses, tstamps)}
+    gaps = []
+    for t in sorted(tmap):
+        a, b = tmap.get(t), tmap.get(t - lap_len)
+        if a is None or b is None:
+            continue
+        gaps.append(np.linalg.norm(a[:3] - b[:3]))
+    extent = max(np.linalg.norm(poses[:, :3], axis=1).max(), 1e-9)
+    return float(np.median(gaps) / extent) if gaps else float("nan")
+
+
 def run(frames, intr, ht, wd, loop, lc_kw, params=None, cfg_kw=None):
     from ..loop.longterm import LongTermLoopClosure
     from ..slam import DPVO
@@ -83,6 +97,11 @@ def main():
     ap.add_argument("--render", action="store_true",
                     help="rendered 3D out-and-back world (real parallax "
                          "at revisits) instead of the 2D pan texture")
+    ap.add_argument("--multiloop", action="store_true",
+                    help="rendered multi-lap world (frames//125 laps over "
+                         "one jittered circuit): long-sequence LC soak — "
+                         "expects repeated closures and a shrinking "
+                         "lap-revisit gap (use with --frames 500)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--seeds", type=int, default=1,
                     help="number of world seeds (starting at --seed); "
@@ -109,14 +128,22 @@ def main():
              "LOOP_CLOSE_WINDOW_SIZE": 1, "LC_INTERVAL": 8,
              "LOOP_SKIP_WINDOW": skip}
 
+    if args.multiloop:
+        laps = max(args.frames // 125, 2)
+        lap_len = args.frames // laps
+        # revisits recur every lap: skip just the smooth neighborhood
+        skip = lap_len // 2
+        lc_kw["LOOP_SKIP_WINDOW"] = skip
+
     rows = []
     for seed in range(args.seed, args.seed + args.seeds):
         cfg_kw = {}
-        if args.render:
+        if args.render or args.multiloop:
             from ..train.synth import render_sequence
-            images, _, intr4 = render_sequence(seed, frames=args.frames,
-                                               ht=ht, wd=wd, path="outback",
-                                               n_planes=3)
+            images, _, intr4 = render_sequence(
+                seed, frames=args.frames, ht=ht, wd=wd,
+                path="multiloop" if args.multiloop else "outback",
+                n_planes=3)
             frames = [images[t] for t in range(args.frames)]
             intr = np.asarray(intr4, np.float64)
             # MIN_NUM_INLIERS=30 assumes full-res images with thousands of
@@ -131,12 +158,15 @@ def main():
                                   seed=seed)
             intr = np.array([wd * 0.8, wd * 0.8, wd / 2, ht / 2])
 
+        gap = ((lambda p, t: revisit_gap_lap(p, t, lap_len))
+               if args.multiloop
+               else (lambda p, t: revisit_gap(p, t, args.frames)))
         p0, t0, _ = run(frames, intr, ht, wd, loop=False, lc_kw={},
                         params=params, cfg_kw=cfg_kw)
-        g0 = revisit_gap(p0, t0, args.frames)
+        g0 = gap(p0, t0)
         p1, t1, n_lc = run(frames, intr, ht, wd, loop=True, lc_kw=lc_kw,
                            params=params, cfg_kw=cfg_kw)
-        g1 = revisit_gap(p1, t1, args.frames)
+        g1 = gap(p1, t1)
         rows.append({"seed": seed, "no_loop": round(g0, 4),
                      "with_loop": round(g1, 4),
                      "closures_fired": int(n_lc)})

@@ -128,8 +128,18 @@ class _PlaneWorld:
         zk = (X @ Rk.T + tk)[..., 2]
         return X, zk, best_i
 
-    def render(self, Rk, tk):
-        """(image [H,W,3] u8, disp4 [H/4,W/4]) for w2c camera (Rk, tk)."""
+    def render(self, Rk, tk, occ=None, gain=1.0, bias=0.0):
+        """(image [H,W,3] u8, disp4 [H/4,W/4]) for w2c camera (Rk, tk).
+
+        occ: optional moving occluder disc ((cx, cy, cz) world center,
+        radius, texture) on the fronto-parallel plane z = cz — an
+        independently moving object: its pixels get the occluder's TRUE
+        per-frame depth (per-frame-consistent geometry) but move against
+        the ego-motion flow (the dynamic-object outlier real footage
+        contains). gain/bias: per-frame exposure jitter.
+
+        When occ is given, also returns mask [H, W] bool
+        (True = static/usable, the `io.stream` mask convention)."""
         X, _, pid = self._surface(Rk, tk, self.rays)
         u0 = X[..., 0] / X[..., 2] * self.fx + self.cx
         v0 = X[..., 1] / X[..., 2] * self.fy + self.cy
@@ -147,8 +157,43 @@ class _PlaneWorld:
                   + fu * fv * tex[y0i + 1, x0i + 1])
             img = np.where((pid == i)[..., None], li, img)
         _, z4, _ = self._surface(Rk, tk, self.rays4)
+
+        mask = None
+        if occ is not None:
+            (ocx, ocy, ocz), orad, otex = occ
+
+            def occ_hit(rays, Rm, tm, z_bg):
+                c = -Rm.T @ tm
+                d = rays @ Rm
+                s = np.where(np.abs(d[..., 2]) > 1e-9,
+                             (ocz - c[2]) / np.where(
+                                 np.abs(d[..., 2]) > 1e-9, d[..., 2], 1.0),
+                             np.inf)
+                P = c[None, None] + s[..., None] * d
+                zc = (P @ Rm.T + tm)[..., 2]
+                hit = ((s > 0)
+                       & (np.hypot(P[..., 0] - ocx, P[..., 1] - ocy)
+                          < orad)
+                       & (zc < z_bg))
+                return hit, P, zc
+
+            z_bg = (X @ Rk.T + tk)[..., 2]
+            hit, P, zc = occ_hit(self.rays, Rk, tk, z_bg)
+            th, tw = otex.shape[:2]
+            ou = np.clip(((P[..., 0] - ocx) / orad * 0.5 + 0.5) * (tw - 1),
+                         0, tw - 1).astype(int)
+            ov = np.clip(((P[..., 1] - ocy) / orad * 0.5 + 0.5) * (th - 1),
+                         0, th - 1).astype(int)
+            img = np.where(hit[..., None], otex[ov, ou], img)
+            mask = ~hit
+            hit4, _, zc4 = occ_hit(self.rays4, Rk, tk, z4)
+            z4 = np.where(hit4, zc4, z4)
+
         disp4 = (1.0 / np.maximum(z4, 1e-6)).astype(np.float32)
-        return np.clip(img, 0, 255).astype(np.uint8), disp4
+        img = np.clip(img * gain + bias, 0, 255).astype(np.uint8)
+        if occ is not None:
+            return img, disp4, mask
+        return img, disp4
 
 
 def _pose7(Rk, tk):
@@ -160,12 +205,17 @@ def _pose7(Rk, tk):
 
 
 def render_clip(rng, frames=6, ht=48, wd=64, fx=40.0, fy=40.0,
-                n_planes=1):
+                n_planes=1, harden=False):
     """One clip: (images [T,H,W,3] u8, poses_w2c [T,7], disps4 [T,H/4,W/4],
     intrinsics [4]). Smooth random-walk camera over slanted plane(s); the
     constant-velocity component is drawn per clip (random direction and
     magnitude) so the learned update operator sees diverse motion stats
-    instead of a fixed drift it could absorb as a prior."""
+    instead of a fixed drift it could absorb as a prior.
+
+    harden=True draws the in-the-wild nuisances real footage carries
+    (VERDICT r2 #5): ~50% of clips get an independently moving textured
+    occluder disc (ego-motion-inconsistent flow outliers) and every frame
+    gets exposure jitter (gain 0.85-1.2, bias +-8)."""
     world = _PlaneWorld(rng, ht, wd, fx, fy, n_planes=n_planes)
     Rk = np.eye(3)
     tk = np.zeros(3)
@@ -174,8 +224,28 @@ def render_clip(rng, frames=6, ht=48, wd=64, fx=40.0, fy=40.0,
     images = np.zeros((frames, ht, wd, 3), np.uint8)
     poses = np.zeros((frames, 7), np.float32)
     disps = np.zeros((frames, ht // 4, wd // 4), np.float32)
+
+    occ0 = occ_vel = otex = None
+    if harden and rng.random() < 0.5:
+        zo = rng.uniform(1.2, 1.8)
+        span = zo / fx * wd
+        occ0 = np.array([rng.uniform(-0.3, 0.3) * span,
+                         rng.uniform(-0.3, 0.3) * span, zo])
+        occ_vel = rng.normal(0, 0.06 * span, 3) * np.array([1, 1, 0.2])
+        occ_rad = rng.uniform(0.10, 0.16) * span
+        otex = _texture(rng, 48, 48, octaves=3)
     for k in range(frames):
-        images[k], disps[k] = world.render(Rk, tk)
+        gain, bias = (1.0, 0.0)
+        if harden:
+            gain = rng.uniform(0.85, 1.2)
+            bias = rng.uniform(-8.0, 8.0)
+        if occ0 is not None:
+            occ = (tuple(occ0 + k * occ_vel), occ_rad, otex)
+            images[k], disps[k], _ = world.render(Rk, tk, occ=occ,
+                                                  gain=gain, bias=bias)
+        else:
+            images[k], disps[k] = world.render(Rk, tk, gain=gain,
+                                               bias=bias)
         poses[k] = _pose7(Rk, tk)
         dR = _so3_exp(rng.normal(0, 0.02, 3))
         dt = rng.normal(0, 0.04, 3) + vel
@@ -228,6 +298,27 @@ def render_sequence(seed, frames=60, ht=48, wd=64, fx=40.0, fy=40.0,
             way_t.append(way_t[-1] + vel + rng.normal(0, 0.01, 3))
         for k in range(frames):
             i = k if k <= half else frames - k
+            Rw = _so3_exp(way_w[i])
+            images[k], _ = world.render(Rw, way_t[i])
+            poses[k] = _pose7(Rw, way_t[i])
+    elif path == "multiloop":
+        # several laps over the SAME jittered waypoint lap: frame t and
+        # frame t + lap_len observe identical structure, so every lap
+        # after the first offers loop-closure revisits along its whole
+        # length (the 500+-frame multi-loop soak world, VERDICT r2 #6)
+        laps = max(frames // 125, 2)
+        lap_len = frames // laps
+        vel = np.array([0.05, 0.0, 0.01]) * (amp / 0.45)
+        way_t, way_w = [np.zeros(3)], [np.zeros(3)]
+        half = lap_len // 2
+        for k in range(1, half + 1):      # out...
+            way_w.append(way_w[-1] + rng.normal(0, 0.008, 3))
+            way_t.append(way_t[-1] + vel + rng.normal(0, 0.01, 3))
+        for k in range(half + 1, lap_len):  # ...and back along the lap
+            way_w.append(way_w[lap_len - k])
+            way_t.append(way_t[lap_len - k])
+        for k in range(frames):
+            i = k % lap_len
             Rw = _so3_exp(way_w[i])
             images[k], _ = world.render(Rw, way_t[i])
             poses[k] = _pose7(Rw, way_t[i])
