@@ -4,12 +4,16 @@ A resumed run must continue bit-identically: same poses, same
 bookkeeping, same trajectory at terminate."""
 
 import numpy as np
+import pytest
 
 from wild_video_3d_reconstruction_tpu.slam import DPVO
 from wild_video_3d_reconstruction_tpu.slam.checkpoint import (load_slam,
                                                               save_slam)
 
 from test_slam_smoke import HT, WD, synthetic_frames, tiny_config
+
+pytestmark = pytest.mark.slow  # integration/soak tier
+
 
 N = 20
 SPLIT = 14

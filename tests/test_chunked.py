@@ -7,10 +7,14 @@ optimization can never drift from the reference semantics.
 """
 
 import numpy as np
+import pytest
 
 from wild_video_3d_reconstruction_tpu.slam import DPVO
 
 from test_slam_smoke import synthetic_frames, tiny_config
+
+pytestmark = pytest.mark.slow  # integration/soak tier
+
 
 HT, WD = 48, 64
 INTR = np.array([60.0, 60.0, WD / 2, HT / 2])

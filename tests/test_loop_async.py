@@ -21,6 +21,9 @@ from wild_video_3d_reconstruction_tpu.slam import DPVO
 
 from test_slam_smoke import HT, WD, synthetic_frames, tiny_config
 
+pytestmark = pytest.mark.slow  # integration/soak tier
+
+
 N_FRAMES = 26
 
 

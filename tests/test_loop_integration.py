@@ -10,6 +10,9 @@ from wild_video_3d_reconstruction_tpu.slam import DPVO
 
 from test_slam_smoke import HT, WD, synthetic_frames, tiny_config
 
+pytestmark = pytest.mark.slow  # integration/soak tier
+
+
 
 @pytest.fixture(scope="module")
 def slam_with_lc():

@@ -14,6 +14,9 @@ from wild_video_3d_reconstruction_tpu.nerf import (  # noqa: E402
     ngp, render, train_native)
 
 
+pytestmark = pytest.mark.slow  # integration/soak tier
+
+
 def _tiny_train(tmp_path, refine=False, steps=8):
     """A few steps on a tiny synthetic scene; save + reload the field."""
     images, c2ws, intrs, conv = train_native.synth_scene(

@@ -8,6 +8,10 @@ tiny rendered sequence and asserts every stage hands off correctly.
 import json
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # integration/soak tier
+
 
 
 def test_recon_pipeline_end_to_end(tmp_path):

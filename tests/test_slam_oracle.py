@@ -23,6 +23,9 @@ from wild_video_3d_reconstruction_tpu.utils.config import DPVOConfig
 
 from test_slam_smoke import HT, WD, synthetic_frames
 
+pytestmark = pytest.mark.slow  # integration/soak tier
+
+
 SPHERE_C = 3.0     # sphere center depth (world z)
 SPHERE_R = 2.5     # sphere radius
 N_FRAMES = 18

@@ -16,6 +16,9 @@ import jax.numpy as jnp
 from wild_video_3d_reconstruction_tpu.slam import DPVO
 from wild_video_3d_reconstruction_tpu.utils.config import DPVOConfig
 
+pytestmark = pytest.mark.slow  # integration/soak tier
+
+
 HT, WD = 48, 64
 
 

@@ -8,6 +8,7 @@ long-running demonstration; its result is recorded in docs/ROUND2.md).
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -16,6 +17,9 @@ from wild_video_3d_reconstruction_tpu.train.synth import (make_world_batch,
                                                           render_clip)
 
 HT, WD = 48, 64
+
+
+pytestmark = pytest.mark.slow  # integration/soak tier
 
 
 def _clip(seed=0, frames=4):

@@ -16,6 +16,9 @@ from wild_video_3d_reconstruction_tpu.slam import DPVO, steps
 
 from test_slam_smoke import HT, WD, synthetic_frames, tiny_config
 
+pytestmark = pytest.mark.slow  # integration/soak tier
+
+
 
 @pytest.fixture()
 def forced_tiers(monkeypatch):
