@@ -343,8 +343,19 @@ class DPVO:
             images = jax.device_put(np.stack(imgs))   # one transfer
         else:
             images = jnp.stack([jnp.asarray(i) for i in imgs])
-        intrs = jnp.asarray(np.stack([r[1] for r in rows]))
-        facs = jnp.asarray(np.asarray([r[2] for r in rows], np.float32))
+        # regular streams repeat identical intrinsics/fac rows every
+        # chunk; cache the device arrays (each upload costs ~an RTT
+        # through a relay tunnel)
+        intrs_np = np.stack([r[1] for r in rows])
+        facs_np = np.asarray([r[2] for r in rows], np.float32)
+        key = (intrs_np.tobytes(), facs_np.tobytes())
+        cached = getattr(self, "_chunk_const_cache", (None, None, None))
+        if cached[0] == key:
+            intrs, facs = cached[1], cached[2]
+        else:
+            intrs = jnp.asarray(intrs_np)
+            facs = jnp.asarray(facs_np)
+            self._chunk_const_cache = (key, intrs, facs)
         if sig[0]:
             deps = jnp.stack([jnp.asarray(r[3], jnp.float32) for r in rows])
         else:
