@@ -80,13 +80,18 @@ def main():
     slot_edge, slot_of_edge, block_meta = bucketing
 
     def gslots():
-        g = jnp.moveaxis(gmap[kk], 1, -1).reshape(E, 9, C)
-        g = jnp.pad(g, ((0, 1), (0, pc.P16 - 9), (0, 0))).astype(
-            jnp.bfloat16)
-        return g[slot_edge]
+        # production formulation: transform/pad the SMALL table once,
+        # one composed gather straight into slot order
+        S = gmap.shape[0]
+        g_small = jnp.moveaxis(gmap, 1, -1).reshape(S, 9, C)
+        g_small = jnp.pad(g_small, ((0, 1), (0, pc.P16 - 9), (0, 0))
+                          ).astype(jnp.bfloat16)
+        kk_pad = jnp.concatenate(
+            [kk.astype(jnp.int32), jnp.full((1,), S, jnp.int32)])
+        return g_small[kk_pad[slot_edge]]
     f_g = jax.jit(gslots)
     t = timeit(f_g)
-    print(f"g gather+pad+slot-sort:     {t:8.2f} ms")
+    print(f"g gather (small-table):     {t:8.2f} ms")
     g_slots = jnp.asarray(f_g())
 
     # surfaces kernels alone (both levels, via the diagnostic flag — the

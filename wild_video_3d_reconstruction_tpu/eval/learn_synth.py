@@ -67,7 +67,8 @@ def evaluate(params, batches, tc):
 
 
 def main(steps=200, batch=4, eval_clips=8, lr=3e-4, seed=0, frames=6,
-         patches=8, ht=48, wd=64, log_every=20, save=None, resume=None):
+         patches=8, ht=48, wd=64, log_every=20, save=None, resume=None,
+         harden=False):
     import jax
 
     from ..models.vonet import init_vonet
@@ -93,7 +94,8 @@ def main(steps=200, batch=4, eval_clips=8, lr=3e-4, seed=0, frames=6,
         mesh, params0, tc, optimizer=make_optimizer(lr=lr, steps=steps))
     t0 = time.time()
     for s in range(steps):
-        b = make_world_batch(seed * 1000 + s, batch, tc, ht=ht, wd=wd)
+        b = make_world_batch(seed * 1000 + s, batch, tc, ht=ht, wd=wd,
+                             harden=harden)
         batch_dev = {k: jax.numpy.asarray(v) for k, v in b.items()}
         params, opt_state, metrics = step_fn(params, opt_state, batch_dev,
                                              jax.random.PRNGKey(s))
@@ -130,6 +132,10 @@ if __name__ == "__main__":
                     help="directory to save the trained params")
     ap.add_argument("--resume", type=str, default=None,
                     help="orbax checkpoint dir to continue from")
+    ap.add_argument("--harden", action="store_true",
+                    help="train on hardened worlds (moving occluders + "
+                         "exposure jitter); held-out eval stays clean")
     args = ap.parse_args()
     main(steps=args.steps, batch=args.batch, eval_clips=args.eval_clips,
-         lr=args.lr, save=args.save, resume=args.resume)
+         lr=args.lr, save=args.save, resume=args.resume,
+         harden=args.harden)

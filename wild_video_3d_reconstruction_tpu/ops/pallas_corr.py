@@ -473,44 +473,45 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
     fy_s = to_slots(fy)
     fx_s = to_slots(fx)
 
-    # extract per-pixel 7x7 blended windows by shift-selection: the window
-    # start has few possible values (y: 0..RSH-8, x: 0..RSW-8), so the
-    # dynamic crop is a masked sum of static slices — pure VPU work, ~10x
-    # faster than the equivalent batched one-hot matmuls and ~66x faster
-    # than a take_along_axis lane gather (scripts/extract_micro.py).
-    # The masked sums are exact selections (exactly one mask is 1 per
-    # position); the bilinear blends ride INSIDE the fine-x and y passes
-    # (fp32 over the bf16 selections — operand-identical to a separate
-    # blend stage, two fewer full-array materializations).
-    # x runs first (it narrows 32 lanes before the y pass touches the
-    # data), decomposed into coarse (x//8: 4 shifts of width 16) and fine
-    # (x%8: 8 shifts) — 12 passes instead of 25.
+    # extract per-pixel 8x8 windows by shift-selection: the window start has
+    # few possible values (y: 0..RSH-8, x: 0..RSW-8), so the dynamic crop is
+    # a masked sum of static slices — pure VPU work, ~10x faster than the
+    # equivalent batched one-hot matmuls and ~66x faster than a
+    # take_along_axis lane gather at SLAM sizes (scripts/extract_micro.py;
+    # folding the bilinear blends INTO the selection passes also measured
+    # slower — the fp32 blend operands quadruple the per-candidate bytes).
+    # bf16 buffers: the masked sums are exact selections (exactly one mask
+    # is 1 per position), so no accumulation error is introduced.
+    # x runs first (it narrows 32 lanes to 8 before the y pass touches the
+    # data) and is decomposed into coarse (x//8: 4 shifts of width 16) and
+    # fine (x%8: 8 shifts of width 8) — 12 passes instead of 25.
     coarse_x = rel_x_s // 8
     fine_x = rel_x_s % 8
-    fx_b = fx_s[:, :, None, None]
-    fy_b = fy_s[:, :, None, None]
     surf_p = jnp.pad(surf, ((0, 0), (0, 0), (0, 0), (0, 8)))
     t1 = jnp.zeros((n_slots, P2, RSH, 16), jnp.bfloat16)
     for c in range(RSW // 8):
         m = (coarse_x == c)[:, :, None, None]
         t1 = t1 + jnp.where(m, surf_p[:, :, :, 8 * c:8 * c + 16],
                             0).astype(jnp.bfloat16)
-    # fine-x selection fused with the x blend (8 outputs use cols f..f+8)
-    xb = jnp.zeros((n_slots, P2, RSH, 8), jnp.float32)
+    t2 = jnp.zeros((n_slots, P2, RSH, 8), jnp.bfloat16)
     for f in range(8):
         m = (fine_x == f)[:, :, None, None]
-        pair = ((1 - fx_b) * t1[:, :, :, f:f + 8].astype(jnp.float32)
-                + fx_b * t1[:, :, :, f + 1:f + 9].astype(jnp.float32))
-        xb = xb + jnp.where(m, pair, 0)
-    # y selection fused with the y blend -> [n_slots, P2, 7, 8]
-    d = 7
-    win = jnp.zeros((n_slots, P2, d, 8), jnp.float32)
+        t2 = t2 + jnp.where(m, t1[:, :, :, f:f + 8], 0).astype(jnp.bfloat16)
+    win = jnp.zeros((n_slots, P2, 8, 8), jnp.float32)
     for s in range(RSH - 8 + 1):
         m = (rel_y_s == s)[:, :, None, None]
-        pair = ((1 - fy_b) * xb[:, :, s:s + d, :]
-                + fy_b * xb[:, :, s + 1:s + d + 1, :])
-        win = win + jnp.where(m, pair, 0)
-    return win[..., :d] * in_region_s[:, :, None, None]
+        win = win + jnp.where(m, t2[:, :, s:s + 8, :], 0).astype(jnp.float32)
+    win = win * in_region_s[:, :, None, None]
+
+    # bilinear blend of the four integer shifts -> 7x7
+    fx_b = fx_s[:, :, None, None]
+    fy_b = fy_s[:, :, None, None]
+    d = 7
+    out = ((1 - fx_b) * (1 - fy_b) * win[..., :d, :d]
+           + fx_b * (1 - fy_b) * win[..., :d, 1:]
+           + (1 - fx_b) * fy_b * win[..., 1:, :d]
+           + fx_b * fy_b * win[..., 1:, 1:])           # [n_slots,9,dy,dx]
+    return out
 
 
 def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,

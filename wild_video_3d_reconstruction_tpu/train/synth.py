@@ -335,12 +335,13 @@ def render_sequence(seed, frames=60, ht=48, wd=64, fx=40.0, fy=40.0,
     return images, poses, world.intrinsics()
 
 
-def make_world_batch(seed, batch_size, tc, ht=48, wd=64):
+def make_world_batch(seed, batch_size, tc, ht=48, wd=64, harden=False):
     """Batch of rendered clips in the `clip_loss_fn` layout."""
     rng = np.random.default_rng(seed)
     ims, ps, ds, it = [], [], [], []
     for _ in range(batch_size):
-        a, b, c, d = render_clip(rng, frames=tc.frames, ht=ht, wd=wd)
+        a, b, c, d = render_clip(rng, frames=tc.frames, ht=ht, wd=wd,
+                                 harden=harden)
         ims.append(a)
         ps.append(b)
         ds.append(c)
