@@ -31,7 +31,9 @@ HT, WD = 384, 512
 BASELINE_FPS = 60.0
 
 
-def synthetic_frames(n, ht=HT, wd=WD, seed=0):
+def synthetic_frames(n, ht=None, wd=None, seed=0):
+    ht = HT if ht is None else ht      # read globals at CALL time so the
+    wd = WD if wd is None else wd      # --size override applies
     rng = np.random.default_rng(seed)
     big = rng.integers(0, 255, size=(ht + 256, wd + 256, 3),
                        dtype=np.uint8)
@@ -173,6 +175,10 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/fast.yaml")
+    ap.add_argument("--size", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="frame size override (default 384 512; used by "
+                         "the CPU logic test)")
     ap.add_argument("--warmup", type=int, default=24)
     ap.add_argument("--timed", type=int, default=48,
                     help="frames per timed window")
@@ -187,6 +193,9 @@ def main():
     ap.add_argument("--candidates", default="16:0,8:1,8:0",
                     help="comma list of CHUNK:FUSED probes, best wins")
     args = ap.parse_args()
+    global HT, WD
+    if args.size:
+        HT, WD = args.size
 
     # A dead relay tunnel makes jax.devices() hang forever (observed:
     # multi-hour axon outages). Probe in a subprocess first so the driver
