@@ -67,7 +67,8 @@ def gt_trajectory():
 def make_oracle_update(gt_poses):
     """Oracle replacement for steps._run_update_net: ground-truth targets."""
 
-    def oracle(cfg, params, state, net, ii, jj, kk, valid, n):
+    def oracle(cfg, params, state, net, ii, jj, kk, valid, n,
+               order=None, kk_table=None):
         coords = pops.transform(state.poses, state.patches,
                                 state.intrinsics, ii, jj, kk)
         coords = jnp.where(valid[:, None, None, None], coords, 0.0)

@@ -395,11 +395,18 @@ def update_op(cfg, params, state: SLAMState, t0):
             # argsorts cost ~10 ms each at default-config tiers
             # (scripts/sort_micro.py); this fuses 3 of them into 1.
             q = kk_sl - m_base
-            okv = valid_sl & (q >= 0) & (q < cfg.patch_slots)
+            okq = (q >= 0) & (q < cfg.patch_slots)
+            okv = valid_sl & okq
             order = jnp.argsort(jnp.where(okv, kk_sl, jnp.int32(1 << 30)),
                                 stable=True)
-            table = _group_by_patch(q, okv, cfg.patch_slots,
-                                    ba_cfg.per_patch_cap, order=order)
+            # NOTE: the BA table keeps the original okq membership (dead
+            # rows included; they carry zero weight). Excluding them via
+            # okv is single-step bit-identical on probed states but
+            # deterministically degrades the full oracle-SLAM rollout
+            # (tests/test_slam_oracle.py: ATE 0.04 -> 0.18) — an
+            # unexplained interaction left unshipped; see git history.
+            table = _group_by_patch(q, okq, cfg.patch_slots,
+                                    ba_cfg.per_patch_cap)
             # NOTE: the table is NOT passed as kk_table — the SoftAgg
             # member-table formulation measured ~8 ms SLOWER than the
             # scatter path at tier occupancy on v5e (update_op 108 -> 117
