@@ -483,18 +483,21 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
     # bf16 buffers: the masked sums are exact selections (exactly one mask
     # is 1 per position), so no accumulation error is introduced.
     # x runs first (it narrows 32 lanes to 8 before the y pass touches the
-    # data) and is decomposed into coarse (x//8: 4 shifts of width 16) and
-    # fine (x%8: 8 shifts of width 8) — 12 passes instead of 25.
-    coarse_x = rel_x_s // 8
-    fine_x = rel_x_s % 8
-    surf_p = jnp.pad(surf, ((0, 0), (0, 0), (0, 0), (0, 8)))
+    # data), decomposed into a CLAMPED coarse shift (min(x//8, 2): 3
+    # shifts of width 16, all in-bounds) and a widened fine shift
+    # (x - 8*coarse in [0, 8]: 9 shifts of width 8, f+8 <= 16) — 12
+    # passes, and the 2 GB padded surface copy the unclamped (4-coarse)
+    # decomposition needed disappears (rel_x <= RSW-8 = 24 makes the
+    # clamp exact).
+    coarse_x = jnp.minimum(rel_x_s // 8, 2)
+    fine_x = rel_x_s - 8 * coarse_x
     t1 = jnp.zeros((n_slots, P2, RSH, 16), jnp.bfloat16)
-    for c in range(RSW // 8):
+    for c in range(3):
         m = (coarse_x == c)[:, :, None, None]
-        t1 = t1 + jnp.where(m, surf_p[:, :, :, 8 * c:8 * c + 16],
+        t1 = t1 + jnp.where(m, surf[:, :, :, 8 * c:8 * c + 16],
                             0).astype(jnp.bfloat16)
     t2 = jnp.zeros((n_slots, P2, RSH, 8), jnp.bfloat16)
-    for f in range(8):
+    for f in range(9):
         m = (fine_x == f)[:, :, None, None]
         t2 = t2 + jnp.where(m, t1[:, :, :, f:f + 8], 0).astype(jnp.bfloat16)
     win = jnp.zeros((n_slots, P2, 8, 8), jnp.float32)
