@@ -336,6 +336,12 @@ def retire_and_compact(cfg, state: SLAMState):
 TIER_MIN_EDGES = 4096
 TIER_ON_CPU = False
 
+# BA patch-table membership rule (see the note in update_op.tier_body).
+# "okq_prefix" is shipped; "okq" (round-3 shipping) and "okv" (the
+# round-3 regression) remain for the regression tests / bisect script
+# (scripts/okv_bisect.py, tests/test_ba_table_membership.py).
+_BA_TABLE_MODE = "okq_prefix"
+
 
 def _run_tiered(n_edges, E_full, body, n_tiers=2):
     """body(n_rows) -> f(_) -> pytree with capacity-shaped leaves."""
@@ -399,14 +405,53 @@ def update_op(cfg, params, state: SLAMState, t0):
             okv = valid_sl & okq
             order = jnp.argsort(jnp.where(okv, kk_sl, jnp.int32(1 << 30)),
                                 stable=True)
-            # NOTE: the BA table keeps the original okq membership (dead
-            # rows included; they carry zero weight). Excluding them via
-            # okv is single-step bit-identical on probed states but
-            # deterministically degrades the full oracle-SLAM rollout
-            # (tests/test_slam_oracle.py: ATE 0.04 -> 0.18) — an
-            # unexplained interaction left unshipped; see git history.
-            table = _group_by_patch(q, okq, cfg.patch_slots,
-                                    ba_cfg.per_patch_cap)
+            # BA patch-table membership — ROOT CAUSE of the round-3
+            # okq/okv rollout divergence (VERDICT r3 #2), established by
+            # scripts/okv_bisect.py and pinned by
+            # tests/test_ba_table_membership.py:
+            #
+            #   * Zero-weight (dead) member rows are provably inert in
+            #     `_gn_iteration`: the okv table and the capless dense
+            #     one-hot path produce the same solves. There is no
+            #     latent masking bug.
+            #   * The modes differ in WHICH LIVE EDGES fit the cap-sized
+            #     table. Under okq, dead append rows alias real patch
+            #     slots — early-frame forward edges have kk clamped to 0
+            #     (slot 0) and invalid backward rows carry the new
+            #     frame's own kk — and crowd the per-patch cap, pushing
+            #     each patch's newest live edges out of the depth/
+            #     coupling blocks C/Em/u while they remain in the pose
+            #     blocks B/v.
+            #   * That truncation is an accidental regularizer for the
+            #     12-iteration bootstrap: the CONSISTENT system (okv —
+            #     also what the reference's atomicAdd computes) undergoes
+            #     a genuine Gauss-Newton inverse-depth collapse under
+            #     oracle/constant edge weights — near-identity initial
+            #     poses make C = sum w*Jz^2 ~ 0, Q = 1/(C + 1e-4)
+            #     explodes the depth step (the reference uses the same
+            #     damping, `ba_cuda.cu:492`), and the 1e-4 depth floor
+            #     pins every patch at "infinity", unrecoverable
+            #     (oracle ATE 0.21 vs ~0). The reference avoids the
+            #     regime only because its learned confidence weights
+            #     never drive this bootstrap with uniform weights.
+            #
+            # Shipped: "okq_prefix" = okq restricted to real table rows
+            # (< n_edges). It keeps the in-prefix dead rows (bootstrap
+            # damping preserved; oracle ATE 7.1e-8 == okq's 7.4e-8) but
+            # drops STALE TAIL rows beyond n_edges, whose kk is dead
+            # memory from earlier compactions — under plain okq those
+            # could crowd live edges out of steady-state tables
+            # nondeterministically.
+            if _BA_TABLE_MODE == "okv":
+                table = _group_by_patch(q, okv, cfg.patch_slots,
+                                        ba_cfg.per_patch_cap, order=order)
+            elif _BA_TABLE_MODE == "okq_prefix":
+                okp = okq & (jnp.arange(n_rows) < state.n_edges)
+                table = _group_by_patch(q, okp, cfg.patch_slots,
+                                        ba_cfg.per_patch_cap)
+            else:
+                table = _group_by_patch(q, okq, cfg.patch_slots,
+                                        ba_cfg.per_patch_cap)
             # NOTE: the table is NOT passed as kk_table — the SoftAgg
             # member-table formulation measured ~8 ms SLOWER than the
             # scatter path at tier occupancy on v5e (update_op 108 -> 117
