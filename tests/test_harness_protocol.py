@@ -107,3 +107,43 @@ def test_euroc_protocol_on_fabricated_scene(tmp_path, rendered, small_cfg,
                                trials=1, stride=1, scenes=[scene.name])
     assert list(results) == [scene.name]
     assert np.isfinite(results[scene.name])
+
+
+def test_real_calibration_tables_stream(tmp_path):
+    """Dress-rehearsal for the REAL TUM/EuRoC calibration constants
+    (VERDICT r3 weak #6): run `tum_stream` / `euroc_stream` UNpatched at
+    the datasets' native resolutions so a typo in `TUM_FR1_CALIB` /
+    `EUROC_CALIB` (or a broken undistort/crop pipeline around them)
+    surfaces here instead of on first contact with real data."""
+    rng = np.random.default_rng(0)
+
+    # TUM fr1: 640x480 RGB, float-seconds filenames
+    tum = tmp_path / "rgbd_dataset_freiburg1_mini"
+    (tum / "rgb").mkdir(parents=True)
+    for i in range(3):
+        img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+        cv2.imwrite(str(tum / "rgb" / f"13050312{i:02d}.531102.png"), img)
+    frames = list(harness.tum_stream(tum, stride=1))
+    assert len(frames) == 3
+    t0, img0, intr0 = frames[0]
+    assert img0.shape == (480, 640, 3)          # 16-multiples survive crop
+    assert img0.dtype == np.uint8
+    np.testing.assert_allclose(intr0, harness.TUM_FR1_CALIB[:4])
+    assert t0 == pytest.approx(1305031200.531102)
+    # undistortion with the real coefficients must actually remap content
+    raw = cv2.imread(str(sorted((tum / "rgb").glob("*.png"))[0]))
+    assert np.abs(img0.astype(int) - raw.astype(int)).mean() > 1.0
+
+    # EuRoC: 752x480 grayscale PNGs under mav0/cam0/data, ns timestamps
+    eur = tmp_path / "MH_mini"
+    (eur / "mav0" / "cam0" / "data").mkdir(parents=True)
+    for i in range(3):
+        img = rng.integers(0, 255, (480, 752), np.uint8)
+        cv2.imwrite(str(eur / "mav0" / "cam0" / "data" /
+                        f"14036367991281{i}0000.png"), img)
+    frames = list(harness.euroc_stream(eur, stride=1))
+    assert len(frames) == 3
+    t0, img0, intr0 = frames[0]
+    assert img0.shape == (480, 752, 3)
+    np.testing.assert_allclose(intr0, harness.EUROC_CALIB[:4])
+    assert t0 == pytest.approx(1403636799.1281, abs=1e-2)

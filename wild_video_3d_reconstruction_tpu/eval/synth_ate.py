@@ -21,7 +21,7 @@ import numpy as np
 
 
 def run(params=None, frames=60, ht=48, wd=64, seed=0, probe_stub=True,
-        path="walk", slam_seed=0):
+        path="walk", slam_seed=0, focal_err=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -40,8 +40,14 @@ def run(params=None, frames=60, ht=48, wd=64, seed=0, probe_stub=True,
         MOTION_PROBE_THRESH=-1.0 if probe_stub else 2.0)
     slam = DPVO(cfg, params, ht, wd, seed=slam_seed)
 
+    # calibration-error injection (eval/calib_sensitivity.py): the SLAM is
+    # FED focals off by (1 + focal_err) while ground truth / rendering use
+    # the true camera — models a miscalibrated `init/colmap_init.py`
+    intr_fed = np.asarray(intr, np.float64).copy()
+    intr_fed[:2] *= (1.0 + focal_err)
+
     for t in range(frames):
-        slam(t, images[t], intrinsics=np.asarray(intr, np.float64))
+        slam(t, images[t], intrinsics=intr_fed)
     est, tstamps = slam.terminate()
 
     from ..ops import lie
