@@ -49,8 +49,9 @@ def log(msg):
 
 
 def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
-                  trials, buffer, loop):
-    """Build a DPVO for (chunk, fused), feed frames, return measurements.
+                  trials, buffer, loop, variant=None):
+    """Build a DPVO for (chunk, fused[, pallas variant]), feed frames,
+    return measurements.
 
     Returns dict with fps (best-of-trials), loop_ms, device_ms, overhead_ms.
     """
@@ -61,6 +62,7 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
 
     cfg = load_config(config, BUFFER_SIZE=buffer, PIPELINE_CHUNK=chunk,
                       PALLAS_FUSED=fused,
+                      **({"PALLAS_VARIANT": variant} if variant else {}),
                       **({"loop_enabled": True} if loop else {}))
     slam = DPVO(cfg, None, HT, WD, seed=0)
     if loop:
@@ -163,13 +165,160 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
     except Exception as e:          # breakdown is diagnostic, not critical
         log(f"device-floor measurement failed: {e!r}")
 
+    # overhead = loop - device can measure slightly negative (the two
+    # windows are not paired; jitter at the noise floor) — clamp at 0 so
+    # the JSON stays self-explaining (VERDICT r3 weak #7) and report the
+    # raw value separately when it was negative
+    overhead = None
+    overhead_raw = None
+    if device_ms:
+        overhead_raw = round(loop_ms - device_ms, 2)
+        overhead = max(0.0, overhead_raw)
     return {
         "fps": round(fps, 2),
         "loop_ms": round(loop_ms, 2),
         "device_ms": round(device_ms, 2) if device_ms else None,
-        "overhead_ms": round(loop_ms - device_ms, 2) if device_ms else None,
+        "overhead_ms": overhead,
+        **({"overhead_ms_raw": overhead_raw}
+           if overhead_raw is not None and overhead_raw < 0 else {}),
         "trials": [round(f, 2) for f, _ in results],
     }
+
+
+def run_breakdown(config, chunk, fused, frames, intr, buffer, n_feed=40,
+                  reps=12, variant=None):
+    """Stage-level device-time + MFU breakdown (VERDICT r3 #7).
+
+    Builds a DPVO at the winning candidate's config, feeds `n_feed`
+    frames to reach a steady-state edge table, then times the jitted
+    sub-programs on that fixed state (value-fetch sync, best-effort).
+    Stages are timed tier-aware: edge-table slices are cut to the same
+    prefix tier `update_op` engages, so the numbers decompose the actual
+    frame_step, not the untiered capacity programs. MFU is reported for
+    the stages whose FLOPs are well-defined (correlation surface matmuls,
+    update-net dense layers, BA Hessian products) against the v5e bf16
+    peak; memory-bound stages (extraction, bookkeeping) report ms only.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from wild_video_3d_reconstruction_tpu.slam import DPVO, steps
+    from wild_video_3d_reconstruction_tpu.utils.config import load_config
+
+    PEAK_BF16 = 197e12   # v5e MXU peak (bf16 FLOP/s)
+
+    cfg = load_config(config, BUFFER_SIZE=buffer, PIPELINE_CHUNK=chunk,
+                      PALLAS_FUSED=fused,
+                      **({"PALLAS_VARIANT": variant} if variant else {}))
+    slam = DPVO(cfg, None, HT, WD, seed=0)
+    slam._probe = lambda *a: 100.0
+    for t in range(n_feed):
+        slam(t, frames[t], intrinsics=intr)
+    _ = np.asarray(slam.state.poses[:1])
+    state = slam.state
+    params = slam.params
+    n_edges = int(state.n_edges)
+    E_cap = state.ii.shape[0]
+
+    # the prefix tier update_op will engage for this state (mirrors
+    # steps._run_tiered's fracs)
+    n_tiers = getattr(cfg, "EDGE_TIERS", 2)
+    fracs = {2: (40, 100), 3: (25, 40, 100)}.get(n_tiers, (40, 100))
+    tiers = sorted({min((E_cap * f // 100 + 1023) // 1024 * 1024, E_cap)
+                    for f in fracs})
+    T = next((t for t in tiers if n_edges + 1 <= t), E_cap)
+    if jax.default_backend() == "cpu" and not steps.TIER_ON_CPU:
+        T = E_cap
+
+    def timeit(fn, *args):
+        out = fn(*args)
+        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+        return 1000.0 * (time.perf_counter() - t0) / reps
+
+    M, pmem = cfg.PATCHES_PER_FRAME, cfg.pmem
+    sl = slice(None, T)
+
+    def corr_args(s):
+        from wild_video_3d_reconstruction_tpu.ops import projective as pops
+        coords = pops.transform(s.poses, s.patches, s.intrinsics,
+                                s.ii[sl], s.jj[sl], s.kk[sl])
+        coords = jnp.where(s.valid[sl][:, None, None, None], coords, 0.0)
+        return (s.gmap, (s.fmap1, s.fmap2), coords.astype(jnp.float32),
+                jnp.mod(s.kk[sl], M * pmem), jnp.mod(s.jj[sl], pmem),
+                s.valid[sl])
+
+    def corr_full(s):
+        from wild_video_3d_reconstruction_tpu.ops.pallas_corr import \
+            patch_corr_pyramid_pallas
+        g, pyr, c, kkm, jjm, v = corr_args(s)
+        return patch_corr_pyramid_pallas(
+            g, pyr, c, kkm, jjm, radius=3, valid=v,
+            fused=getattr(cfg, "PALLAS_FUSED", False),
+            variant=getattr(cfg, "PALLAS_VARIANT", "x32"))
+
+    def corr_surf(s):
+        from wild_video_3d_reconstruction_tpu.ops.pallas_corr import \
+            patch_corr_pyramid_pallas
+        g, pyr, c, kkm, jjm, v = corr_args(s)
+        return patch_corr_pyramid_pallas(g, pyr, c, kkm, jjm, radius=3,
+                                         valid=v, _surfaces_only=True)
+
+    def run_net(s):
+        return steps._run_update_net(cfg, params, s, s.net[sl], s.ii[sl],
+                                     s.jj[sl], s.kk[sl], s.valid[sl],
+                                     s.n_frames)
+
+    def upd(s):
+        return steps.update_op(cfg, params, s, jnp.maximum(
+            s.n_frames - cfg.OPTIMIZATION_WINDOW, 1))
+
+    stages = {}
+    use_pallas = cfg.PALLAS_CORR and jax.default_backend() != "cpu"
+    try:
+        t_frame = timeit(slam._frame[(False, False)], state, params,
+                         jax.device_put(frames[0]),
+                         jnp.asarray(intr, jnp.float32), jnp.float32(1.0),
+                         slam._zero_dep, slam._zero_msk)
+        t_corr = timeit(jax.jit(corr_full), state) if use_pallas else None
+        t_surf = timeit(jax.jit(corr_surf), state) if use_pallas else None
+        t_net = timeit(jax.jit(run_net), state)
+        t_upd = timeit(jax.jit(upd), state)
+        t_ins = timeit(jax.jit(lambda s: steps.insert_frame(
+            cfg, params, s, jnp.asarray(frames[0]),
+            jnp.asarray(intr, jnp.float32), jax.random.PRNGKey(0),
+            jnp.float32(1.0), None, initialized=True)), state)
+        t_ret = timeit(jax.jit(lambda s: steps.retire_and_compact(cfg, s)),
+                       state)
+
+        from wild_video_3d_reconstruction_tpu.models.vonet import DIM
+        C, RN = 128, 512
+        P16 = 16
+        fl_surf = 2.0 * T * P16 * C * RN * 2       # 2 pyramid levels
+        fl_net = 2.0 * T * DIM * (882 + DIM * 6)   # corr-enc + GRU matmuls
+        stages = {
+            "frame_step_ms": round(t_frame, 2),
+            "tier_rows": T, "n_edges": n_edges, "edge_capacity": E_cap,
+            "corr_full_ms": round(t_corr, 2) if t_corr else None,
+            "corr_surfaces_ms": round(t_surf, 2) if t_surf else None,
+            "corr_extract_ms": (round(t_corr - t_surf, 2)
+                                if t_corr and t_surf else None),
+            "update_net_ms": round(t_net, 2),
+            "gru_softagg_ms": (round(t_net - t_corr, 2)
+                               if t_corr else None),
+            "ba_points_ms": round(t_upd - t_net, 2),
+            "insert_ms": round(t_ins, 2),
+            "retire_ms": round(t_ret, 2),
+            "mfu_corr_surfaces": (round(fl_surf / (t_surf / 1e3)
+                                        / PEAK_BF16, 4) if t_surf else None),
+            "mfu_update_net": round(fl_net / (t_net / 1e3) / PEAK_BF16, 4),
+        }
+    except Exception as e:
+        stages["error"] = repr(e)
+    return stages
 
 
 def main():
@@ -190,8 +339,12 @@ def main():
     ap.add_argument("--budget", type=float, default=2700.0,
                     help="wall-clock budget (s); candidate 1 always runs, "
                          "later candidates only while under budget")
-    ap.add_argument("--candidates", default="16:0,8:1,8:0",
-                    help="comma list of CHUNK:FUSED probes, best wins")
+    ap.add_argument("--candidates", default="16:0,16:0:x16,8:0",
+                    help="comma list of CHUNK:FUSED[:VARIANT] probes, "
+                         "best wins")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="append a stage-level device-time/MFU breakdown "
+                         "for the winning candidate to the JSON")
     args = ap.parse_args()
     global HT, WD
     if args.size:
@@ -230,23 +383,26 @@ def main():
 
     cands = []
     for spec in args.candidates.split(","):
-        c, f = spec.split(":")
-        cands.append((int(c), bool(int(f))))
+        parts = spec.split(":")
+        c, f = parts[0], parts[1]
+        variant = parts[2] if len(parts) > 2 else None
+        cands.append((int(c), bool(int(f)), variant))
 
     t_bench = time.perf_counter()
     report = {}
-    for i, (chunk, fused) in enumerate(cands):
+    for i, (chunk, fused, variant) in enumerate(cands):
         elapsed = time.perf_counter() - t_bench
         if i > 0 and elapsed > args.budget:
             log(f"budget exhausted ({elapsed:.0f}s); skipping "
                 f"chunk={chunk} fused={fused}")
             continue
-        key = f"chunk{chunk}_fused{int(fused)}"
+        key = f"chunk{chunk}_fused{int(fused)}" + \
+            (f"_{variant}" if variant else "")
         log(f"candidate {key} (elapsed {elapsed:.0f}s) ...")
         try:
             r = run_candidate(args.config, chunk, fused, list(frames), intr,
                               args.warmup, args.timed, args.trials,
-                              args.buffer, args.loop)
+                              args.buffer, args.loop, variant=variant)
             log(f"candidate {key}: {r}")
             report[key] = r
         except Exception as e:
@@ -272,6 +428,19 @@ def main():
         "candidates": {k: v.get("fps") for k, v in report.items()},
         "bench_wall_s": round(time.perf_counter() - t_bench, 1),
     }
+    if "overhead_ms_raw" in best:
+        out["overhead_ms_raw"] = best["overhead_ms_raw"]
+    if args.breakdown:
+        parts = best_key.replace("chunk", "").split("_fused")
+        c = int(parts[0])
+        fparts = parts[1].split("_")
+        f = bool(int(fparts[0]))
+        variant = fparts[1] if len(fparts) > 1 else None
+        log("running stage breakdown for the winner ...")
+        out["breakdown"] = run_breakdown(args.config, c, f,
+                                         frames, intr, args.buffer,
+                                         variant=variant)
+        out["bench_wall_s"] = round(time.perf_counter() - t_bench, 1)
     print(json.dumps(out))
     return 0
 

@@ -26,6 +26,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/fast.yaml")
     ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="config overrides KEY=VALUE (yaml-parsed)")
     args = ap.parse_args()
 
     import jax
@@ -34,8 +36,15 @@ def main():
     from wild_video_3d_reconstruction_tpu.slam import DPVO, steps
     from wild_video_3d_reconstruction_tpu.utils.config import load_config
 
+    import yaml
+    over = {}
+    for kv in args.opts:
+        k, v = kv.split("=", 1)
+        over[k] = yaml.safe_load(v)
+
     HT, WD = 384, 512
-    cfg = load_config(args.config, BUFFER_SIZE=256)
+    cfg = load_config(args.config, BUFFER_SIZE=256, **over)
+    print(f"overrides: {over}")
     slam = DPVO(cfg, None, HT, WD, seed=0)
     slam._probe = lambda *a: 100.0
 

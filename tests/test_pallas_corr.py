@@ -171,3 +171,53 @@ def test_bucketing_invalid_tail():
         if not v[e]:
             assert all(slot_of_edge[e] > slot_of_edge[o]
                        for o in range(6) if v[o])
+
+
+def test_pallas_x16_matches_oracle():
+    """v4 exact-origin 16-column variant: parity on bounded-spread coords."""
+    gmap, pyr, coords, kk, jj = make_inputs(jax.random.PRNGKey(5))
+    ref = corr_ops.patch_corr_pyramid(gmap, pyr, coords, kk, jj, radius=3)
+    out = pallas_corr.patch_corr_pyramid_pallas(gmap, pyr, coords, kk, jj,
+                                                variant="x16")
+    ref = np.asarray(ref)
+    out = np.asarray(out)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2, \
+        np.abs(out - ref).max() / scale
+
+
+def test_pallas_x16_hybrid_covers_clipped():
+    """Edges whose spread exceeds the x16 region (but fits x32) are
+    repaired by the hybrid fallback instead of zeroed, and the clip count
+    is reported."""
+    key = jax.random.PRNGKey(7)
+    gmap, pyr, coords, kk, jj = make_inputs(key, E=24, spread=0.5)
+    # blow up the spread of half the edges beyond 8 px at level 1 by
+    # widening their patch offsets (centers stay inside the image)
+    wide = (jnp.arange(24) % 2 == 0)
+    offs_wide = jnp.asarray(
+        np.array([[-5.0, -5.0], [0.0, 0.0], [5.0, 5.0]]))
+    coords_w = coords.at[:, :, :, 0].add(
+        jnp.where(wide[:, None, None], offs_wide[None, :, 1][:, :, None],
+                  0.0))
+    coords_w = coords_w.at[:, :, :, 1].add(
+        jnp.where(wide[:, None, None], offs_wide[None, :, 0][:, :, None],
+                  0.0))
+
+    x32, n32 = pallas_corr.patch_corr_pyramid_pallas(
+        gmap, pyr, coords_w, kk, jj, variant="x32", return_clip_count=True)
+    x16, n16 = pallas_corr.patch_corr_pyramid_pallas(
+        gmap, pyr, coords_w, kk, jj, variant="x16", return_clip_count=True)
+    hyb, nh = pallas_corr.patch_corr_pyramid_pallas(
+        gmap, pyr, coords_w, kk, jj, variant="x16", hybrid_budget=32,
+        return_clip_count=True)
+    assert int(n16) > 0                      # x16 clips the widened edges
+    assert int(nh) == int(n16)
+    x32, x16, hyb = map(np.asarray, (x32, x16, hyb))
+    scale = np.abs(x32).max() + 1e-6
+    # without the fallback the widened edges lose energy vs x32
+    assert np.abs(x16 - x32).max() / scale > 5e-2
+    # with it, every edge matches the x32 geometry (fallback edges are
+    # recomputed through it; unclipped edges already agreed)
+    assert np.abs(hyb - x32).max() / scale < 2e-2, \
+        np.abs(hyb - x32).max() / scale

@@ -99,3 +99,33 @@ def test_jit_compatible():
     jj = jnp.asarray([4, 3, 1])
     ix, jx = f(kk, jj)
     np.testing.assert_array_equal(np.asarray(ix), [1, -1, -1])
+
+
+def test_neighbors_from_sorted_matches_neighbors():
+    """One-sort neighbor derivation: dead rows interleave freely in the
+    okq_prefix order; the dead-skipping scan must still produce exactly
+    `neighbors()` links for in-window rows (the round-3 shared-order
+    path broke at interleaved dead rows; a cap-truncated table variant
+    lost bootstrap links — both are documented dead ends)."""
+    import numpy as np
+
+    from wild_video_3d_reconstruction_tpu.ops.segment import (
+        neighbors, neighbors_from_sorted)
+
+    rng = np.random.default_rng(3)
+    E, M_ = 900, 57
+    kk = jnp.asarray(rng.integers(0, M_ + 9, E), jnp.int32)
+    jj = jnp.asarray(np.sort(rng.integers(0, 40, E)), jnp.int32)
+    valid = jnp.asarray(rng.random(E) < 0.6)
+
+    okp = kk < M_
+    key = jnp.where(okp, kk, jnp.int32(M_))
+    order = jnp.argsort(key, stable=True)
+    ix1, jx1 = neighbors_from_sorted(order, key[order], valid[order], M_)
+    ix0, jx0 = neighbors(kk, jj, valid=valid & okp)
+    m = np.asarray(valid & okp)
+    np.testing.assert_array_equal(np.asarray(ix0)[m], np.asarray(ix1)[m])
+    np.testing.assert_array_equal(np.asarray(jx0)[m], np.asarray(jx1)[m])
+    # rows outside the window get no links (they are outside the BA
+    # patch window, which covers every live edge in steady state)
+    assert (np.asarray(ix1)[~m] == -1).all() or (~m).sum() == 0

@@ -68,7 +68,7 @@ def make_oracle_update(gt_poses):
     """Oracle replacement for steps._run_update_net: ground-truth targets."""
 
     def oracle(cfg, params, state, net, ii, jj, kk, valid, n,
-               order=None, kk_table=None):
+               order=None, kk_table=None, nbr=None):
         coords = pops.transform(state.poses, state.patches,
                                 state.intrinsics, ii, jj, kk)
         coords = jnp.where(valid[:, None, None, None], coords, 0.0)

@@ -94,6 +94,49 @@ def _corr_kernel(meta_ref, origin_ref, g_ref, fmap_ref, out_ref):
             out_ref[e, :, :] = S[:P2].astype(jnp.bfloat16)
 
 
+# v4 region geometry: EXACT x origin (no 16-alignment), 16-column region.
+# Halves the surface (RN4 = 256 vs 512), halves the per-edge MXU work, and
+# shrinks the extraction to 9+9 shift passes over half-size arrays. The
+# price is one dynamically-unaligned sublane read per edge (a Mosaic
+# sublane rotate) and a UNIFORM <=8 px spread bound in x (v1's bound is
+# 24 - (min_x mod 16), phase-dependent; the CUDA kernel has no bound —
+# clipped edges are routed to the exact XLA path by the hybrid fallback
+# in slam.steps).
+RSW4 = 16
+RN4 = RSH * RSW4
+
+
+def _corr_kernel4(meta_ref, origin_ref, g_ref, fmap_ref, out_ref):
+    # Mosaic cannot vector.load at a dynamically-unaligned sublane start
+    # ("cannot statically prove index is a multiple of 8"), so the exact
+    # 16-column region is carved in-register: one tile-aligned 32-column
+    # load (as v1), then a dynamic sublane slice by the residual phase
+    # r = min_x mod 16 (a sublane rotate).
+    b = pl.program_id(0)
+
+    @pl.when(meta_ref[b, 1] == b)
+    def _():
+        for e in range(g_ref.shape[0]):
+            oy = origin_ref[e, 0]
+            ox = pl.multiple_of(origin_ref[e, 1], 16)
+            r = origin_ref[e, 2]                         # phase in [0, 15]
+            reg32 = fmap_ref[0, pl.ds(oy, RSH), pl.ds(ox, RSW), :]
+            # Mosaic's dynamic rotate is 32-bit only: bitcast the packed
+            # bf16 sublane pairs to int32, rotate by the even part of the
+            # phase (columns j of roll(-h) are reg32[j + 2h]; no wrap
+            # reaches j < 16 for r <= 16), and resolve the odd bit with
+            # one static-shift select.
+            ri = pltpu.bitcast(reg32, jnp.int32)         # [RSH, RSW/2, C]
+            ri = pltpu.roll(ri, -(r // 2), axis=1)
+            rb = pltpu.bitcast(ri, jnp.bfloat16)         # [RSH, RSW, C]
+            region = jnp.where((r % 2) == 1,
+                               rb[:, 1:RSW4 + 1, :], rb[:, :RSW4, :])
+            S = jax.lax.dot_general(
+                g_ref[e], region.reshape(RN4, -1), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [P16, RN4]
+            out_ref[e, :, :] = S[:P2].astype(jnp.bfloat16)
+
+
 ECH = 16        # edges per extraction chunk (bounds live vector state)
 
 
@@ -255,6 +298,36 @@ def _surfaces(fmap_pad, block_meta, origin, g, n_slots):
         _corr_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_slots, P2, RN), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(15e6)),
+    )(block_meta, origin, g, fmap_pad)
+
+
+def _surfaces4(fmap_pad, block_meta, origin, g, n_slots):
+    """v4 kernel launcher: [n_slots, P2, RN4] bf16 surfaces."""
+    F, Hp, Wp, C = fmap_pad.shape
+    n_blocks = block_meta.shape[0]
+    EB = n_slots // n_blocks
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((EB, 3), lambda b, meta: (meta[b, 1], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EB, P16, C), lambda b, meta: (meta[b, 1], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, Wp, C),
+                         lambda b, meta: (meta[b, 0], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((EB, P2, RN4), lambda b, meta: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _corr_kernel4,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_slots, P2, RN4), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(15e6)),
     )(block_meta, origin, g, fmap_pad)
@@ -438,10 +511,12 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
                   ((Wp - RSW) // 16) * 16)
     rel_y = ystart - oy[:, None]
     rel_x = xstart - ox[:, None]
-    in_region = ((rel_y >= 0) & (rel_y <= RSH - 8) &
-                 (rel_x >= 0) & (rel_x <= RSW - 8) &
-                 (ystart >= 0) & (xstart >= 0) &
-                 (ystart <= Hp - 8) & (xstart <= Wp - 8))
+    fits = ((rel_y >= 0) & (rel_y <= RSH - 8) &
+            (rel_x >= 0) & (rel_x <= RSW - 8))
+    inimg = ((ystart >= 0) & (xstart >= 0) &
+             (ystart <= Hp - 8) & (xstart <= Wp - 8))
+    in_region = fits & inimg
+    clip_e = jnp.any(inimg & ~fits, axis=1)        # [E]
     rel_y = jnp.clip(rel_y, 0, RSH - 8)
     rel_x = jnp.clip(rel_x, 0, RSW - 8)
 
@@ -450,7 +525,8 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
 
     if fused:
         return _fused_level(gmap_slots, fmap_pad, origin, coords_e,
-                            rel_y, rel_x, in_region, n_slots, bucketing)
+                            rel_y, rel_x, in_region, n_slots,
+                            bucketing), clip_e
 
     surf = _surfaces(fmap_pad.astype(jnp.bfloat16),
                      block_meta,
@@ -514,17 +590,119 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
            + fx_b * (1 - fy_b) * win[..., :d, 1:]
            + (1 - fx_b) * fy_b * win[..., 1:, :d]
            + fx_b * fy_b * win[..., 1:, 1:])           # [n_slots,9,dy,dx]
-    return out
+    return out, clip_e
+
+
+def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
+    """v4: one pyramid level with exact-x 16-column regions (RN4 = 256).
+
+    Same contract as `_pallas_corr_level` (slot-ordered [n_slots, P2, 7, 7]
+    fp32, zero outside image/region) but the surface is half the size and
+    the extraction needs only 9 x-shift + 9 y-shift passes. The x spread
+    bound is a uniform 8 px (see _corr_kernel4 note)."""
+    E = coords_e.shape[0]
+    F, H, W, C = fmap.shape
+    slot_edge, slot_of_edge, block_meta = bucketing
+
+    pad_h = max(PAD, RSH - (H + PAD))
+    # the kernel's aligned pre-rotate load is RSW (32) wide even though
+    # the carved region is RSW4 (16): pad tiny maps up to the full load
+    pad_w = max(PAD, RSW - (W + PAD))
+    fmap_pad = jnp.pad(fmap, ((0, 0), (PAD, pad_h), (PAD, pad_w), (0, 0)))
+    Hp = H + PAD + pad_h
+    Wp = W + PAD + pad_w
+
+    ystart = jnp.floor(coords_e[..., 1]).astype(jnp.int32) - 3 + PAD
+    xstart = jnp.floor(coords_e[..., 0]).astype(jnp.int32) - 3 + PAD
+    ystart = ystart.reshape(E, P2)
+    xstart = xstart.reshape(E, P2)
+
+    oy = jnp.clip(jnp.min(ystart, axis=1), 0, Hp - RSH)
+    ox = jnp.clip(jnp.min(xstart, axis=1), 0, Wp - RSW4)
+    rel_y = ystart - oy[:, None]
+    rel_x = xstart - ox[:, None]
+    # fits: the pixel's window sits inside the per-edge region (the
+    # approximation); inimg: the window overlaps the padded image at all
+    # (out-of-image zeros are EXACT — the CUDA kernel samples zero
+    # padding too). Only fits&inimg pixels produce output; inimg&~fits
+    # pixels are the approximation loss the hybrid fallback repairs.
+    fits = ((rel_y >= 0) & (rel_y <= RSH - 8) &
+            (rel_x >= 0) & (rel_x <= RSW4 - 8))
+    inimg = ((ystart >= 0) & (xstart >= 0) &
+             (ystart <= Hp - 8) & (xstart <= Wp - 8))
+    in_region = fits & inimg
+    clip_e = jnp.any(inimg & ~fits, axis=1)        # [E]
+    rel_y = jnp.clip(rel_y, 0, RSH - 8)
+    rel_x = jnp.clip(rel_x, 0, RSW4 - 8)
+
+    # kernel loads an aligned 32-column tile and slices 16 at phase r
+    # (lax.dynamic_slice clamps r to RSW - RSW4, which is exactly right
+    # when the aligned origin was clipped at the right image edge)
+    ox16 = jnp.clip((ox // 16) * 16, 0, ((Wp - RSW) // 16) * 16)
+    phase = ox - ox16
+    origin = jnp.stack([oy, ox16, phase], axis=-1)
+    origin = jnp.concatenate([origin, jnp.zeros((1, 3), jnp.int32)], axis=0)
+
+    surf = _surfaces4(fmap_pad.astype(jnp.bfloat16),
+                      block_meta,
+                      origin[slot_edge],
+                      gmap_slots,
+                      n_slots)                         # [n_slots, P2, RN4]
+    surf = surf.reshape(n_slots, P2, RSH, RSW4)
+
+    def to_slots(a, fill=0):
+        a_p = jnp.concatenate(
+            [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+        return a_p[slot_edge]
+
+    rel_y_s = to_slots(rel_y)
+    rel_x_s = to_slots(rel_x)
+    in_region_s = to_slots(in_region.astype(jnp.float32))
+    fy = (coords_e[..., 1] - jnp.floor(coords_e[..., 1])).reshape(E, P2)
+    fx = (coords_e[..., 0] - jnp.floor(coords_e[..., 0])).reshape(E, P2)
+    fy_s = to_slots(fy)
+    fx_s = to_slots(fx)
+
+    # masked static-shift selection, x then y (rel_x in [0, 8]: 9 shifts
+    # of width 8 from the 16-column rows; f + 8 <= 16 stays in-bounds).
+    # NOTE a flat 256-lane formulation of these passes (full minor-dim
+    # width, lane = y*16+x) measured 2x SLOWER (88 vs 46 ms at E=88k on
+    # v5e): early narrowing (16 -> 8 columns after the x pass) beats
+    # lane-utilization games because later passes stream 2-16x fewer
+    # bytes. Do not retry without new evidence.
+    t2 = jnp.zeros((n_slots, P2, RSH, 8), jnp.bfloat16)
+    for f in range(RSW4 - 8 + 1):
+        m = (rel_x_s == f)[:, :, None, None]
+        t2 = t2 + jnp.where(m, surf[:, :, :, f:f + 8],
+                            0).astype(jnp.bfloat16)
+    win = jnp.zeros((n_slots, P2, 8, 8), jnp.float32)
+    for s in range(RSH - 8 + 1):
+        m = (rel_y_s == s)[:, :, None, None]
+        win = win + jnp.where(m, t2[:, :, s:s + 8, :], 0).astype(jnp.float32)
+    win = win * in_region_s[:, :, None, None]
+
+    fx_b = fx_s[:, :, None, None]
+    fy_b = fy_s[:, :, None, None]
+    d = 7
+    out = ((1 - fx_b) * (1 - fy_b) * win[..., :d, :d]
+           + fx_b * (1 - fy_b) * win[..., :d, 1:]
+           + (1 - fx_b) * fy_b * win[..., 1:, :d]
+           + fx_b * fy_b * win[..., 1:, 1:])
+    return out, clip_e
 
 
 def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
                               valid=None, levels=(1, 4), fused=False,
+                              variant="x32", hybrid_budget=0,
+                              return_clip_count=False,
                               _surfaces_only=False):
     """Drop-in replacement for `ops.corr.patch_corr_pyramid` (radius 3).
 
     gmap: [Ek, C, P, P]; pyramid: per-level [F, H_l, W_l, C] channel-last;
     coords: [E, P, P, 2] at level-1 scale; kk/jj: [E] indices.
     fused=True runs the fused v3 kernel (in-kernel window extraction + blend).
+    variant="x16" uses the v4 exact-x kernel (half-size surfaces, uniform
+    8 px spread bound — see _corr_kernel4).
     Returns [E, L*(2R+1)^2*P*P] with the reference feature layout.
     """
     assert radius == 3, "kernel is specialized for the reference radius 3"
@@ -579,11 +757,18 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
         return acc
 
     outs = []
+    clips = []
     for fmap, s in zip(pyramid, levels):
         c = coords.astype(jnp.float32) / s
-        out = _pallas_corr_level(g_slots, fmap.astype(jnp.bfloat16), c, jj,
-                                 n_slots, bucketing,
-                                 fused=fused)          # [n_slots,9,7,7]
+        if variant == "x16" and not fused:
+            out, clip_e = _pallas_corr_level4(
+                g_slots, fmap.astype(jnp.bfloat16), c, jj, n_slots,
+                bucketing)
+        else:
+            out, clip_e = _pallas_corr_level(
+                g_slots, fmap.astype(jnp.bfloat16), c, jj, n_slots,
+                bucketing, fused=fused)                # [n_slots,9,7,7]
+        clips.append(clip_e)
         # reference layout: (dx, dy, pi, pj)
         out = jnp.transpose(out.reshape(n_slots, 3, 3, 7, 7),
                             (0, 4, 3, 1, 2))
@@ -596,4 +781,40 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
         # where (not multiply): skipped-block garbage can be NaN/inf and
         # NaN * 0 would poison the padded rows
         feat = jnp.where(valid[:, None], feat, 0.0)
+
+    clip_any = clips[0]
+    for ce in clips[1:]:
+        clip_any = clip_any | ce
+    if valid is not None:
+        clip_any = clip_any & jnp.asarray(valid).astype(bool)
+
+    if hybrid_budget > 0 and variant == "x16" and not fused:
+        # Hybrid exact-er fallback (VERDICT r3 #5): edges whose patch
+        # spread exceeds the x16 region get recomputed through the x32
+        # geometry (bound 9-24 px depending on alignment phase) on a
+        # small static budget instead of keeping zeroed pixels. Beyond
+        # the x32 bound the behavior is unchanged (zero) — the truly
+        # exact XLA gather costs ~3-13 us/edge and is not worth it for
+        # the residual tail. Overflowing the budget leaves the extra
+        # edges on the fast path (the clip count is observable via
+        # return_clip_count and the bench JSON).
+        B = hybrid_budget
+        r = jnp.cumsum(clip_any.astype(jnp.int32)) - 1
+        pos = jnp.where(clip_any & (r < B), r, B)
+        buf = jnp.full((B + 1,), E, jnp.int32).at[pos].set(
+            jnp.arange(E, dtype=jnp.int32), mode="drop")[:B]
+        ok = buf < E
+        bc = jnp.clip(buf, 0, E - 1)
+        sub_valid = (jnp.ones((B,), bool) if valid is None
+                     else valid[bc]) & ok
+        feat_sub = patch_corr_pyramid_pallas(
+            gmap, pyramid, coords[bc], kk[bc], jj[bc], radius=radius,
+            valid=sub_valid, levels=levels, variant="x32")
+        ids = jnp.where(ok, buf, E)
+        feat = jnp.concatenate(
+            [feat, jnp.zeros((1, feat.shape[1]), feat.dtype)], axis=0)
+        feat = feat.at[ids].set(feat_sub, mode="drop")[:E]
+
+    if return_clip_count:
+        return feat, jnp.sum(clip_any.astype(jnp.int32))
     return feat

@@ -180,3 +180,41 @@ def compact_valid(valid):
     perm = jnp.zeros((E,), jnp.int32).at[pos].set(
         jnp.arange(E, dtype=jnp.int32))
     return perm, n_valid
+
+
+def neighbors_from_sorted(order, key_s, valid_s, key_max, pad_value=-1):
+    """Neighbor links from ONE precomputed stable sort, skipping dead rows.
+
+    order: [E] stable argsort of key = where(member, patch_id, key_max);
+    key_s = key[order]; valid_s = valid[order]. Rows sharing a patch id
+    are contiguous and in original-index (== ascending-jj) order; dead
+    rows interleave freely — the chain scans PAST them (a plain roll(1)
+    link, as `neighbors(order=...)` uses, breaks at every interleaved
+    dead row, which is why the round-3 shared-order path required a
+    valid-masked sort key; this keeps exact `neighbors()` semantics from
+    the BA table's own okq_prefix sort, saving the second argsort).
+
+    Returns (ix, jx) like `neighbors` (unsorted [E] layout).
+    """
+    E = order.shape[0]
+    idx = jnp.arange(E)
+    use = valid_s & (key_s < key_max)
+    # previous USED row index (exclusive scan), validated same-patch
+    pv = jax.lax.cummax(jnp.where(use, idx, -1))
+    pv_excl = jnp.concatenate([jnp.full((1,), -1, pv.dtype), pv[:-1]])
+    pvc = jnp.clip(pv_excl, 0, E - 1)
+    ok_prev = use & (pv_excl >= 0) & (key_s[pvc] == key_s)
+    prev_sorted = jnp.where(ok_prev, order[pvc], pad_value)
+    # next USED row: reverse of the same scan
+    rn = jax.lax.cummin(jnp.flip(jnp.where(use, idx, E)))
+    nx = jnp.flip(rn)
+    nx_excl = jnp.concatenate([nx[1:], jnp.full((1,), E, nx.dtype)])
+    nxc = jnp.clip(nx_excl, 0, E - 1)
+    ok_next = use & (nx_excl < E) & (key_s[nxc] == key_s)
+    next_sorted = jnp.where(ok_next, order[nxc], pad_value)
+
+    ix = jnp.zeros((E,), jnp.int32).at[order].set(
+        prev_sorted.astype(jnp.int32))
+    jx = jnp.zeros((E,), jnp.int32).at[order].set(
+        next_sorted.astype(jnp.int32))
+    return ix, jx

@@ -37,7 +37,8 @@ from ..ops import lie
 from ..ops import projective as pops
 from ..ops.corr import patch_corr_pyramid
 from ..ops.patchify import avg_pool2d
-from ..ops.segment import compact_valid, neighbors
+from ..ops.segment import (compact_valid, neighbors,
+                           neighbors_from_sorted)
 from .state import SLAMState
 
 
@@ -165,12 +166,14 @@ def insert_frame(cfg, params, state: SLAMState, image, intrinsics, key, fac,
 # ---------------------------------------------------------------------------
 
 def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n,
-                    order=None, kk_table=None):
+                    order=None, kk_table=None, nbr=None):
     """reproject -> correlate -> update operator. Returns
     (net', delta, weight, coords). order: optional shared stable ordering
     by (invalid, kk) for the neighbor links; kk_table: optional [S, cap]
-    per-patch member table reused for the SoftAgg patch groups (see
-    update_op — both derive from the same shared sort)."""
+    per-patch member table reused for the SoftAgg patch groups; nbr:
+    optional precomputed (nbr_ix, nbr_jx) — update_op derives them from
+    the BA patch table (ops.segment.neighbors_from_table), replacing the
+    neighbor argsort."""
     M = cfg.PATCHES_PER_FRAME
     pmem = cfg.pmem
     fd = _feat_dtype(cfg)
@@ -186,7 +189,10 @@ def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n,
             coords.astype(jnp.float32),
             jnp.mod(kk, M * pmem), jnp.mod(jj, pmem),
             radius=3, valid=valid,
-            fused=getattr(cfg, "PALLAS_FUSED", False))      # [E, 882]
+            fused=getattr(cfg, "PALLAS_FUSED", False),
+            variant=getattr(cfg, "PALLAS_VARIANT", "x32"),
+            hybrid_budget=getattr(cfg, "PALLAS_HYBRID_BUDGET",
+                                  0))                       # [E, 882]
     else:
         corr = patch_corr_pyramid(
             state.gmap, (state.fmap1, state.fmap2),
@@ -206,7 +212,8 @@ def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n,
     lj = jnp.clip(jj - fb, 0, FW)
     ij_seg = jnp.where(valid, li * (FW + 1) + lj, (FW + 1) * (FW + 1))
 
-    nbr_ix, nbr_jx = neighbors(kk, jj, valid=valid, order=order)
+    nbr_ix, nbr_jx = nbr if nbr is not None else \
+        neighbors(kk, jj, valid=valid, order=order)
 
     net2, delta, weight = update_forward(
         params["update"], net.astype(fd), ctx.astype(fd), corr.astype(fd),
@@ -349,12 +356,13 @@ def _run_tiered(n_edges, E_full, body, n_tiers=2):
             E_full < TIER_MIN_EDGES or n_tiers <= 1:
         return body(E_full)(None)
     # the cond typically runs post-append (n_edges includes the newest
-    # frame's ~2rM rows), so the lowest tier must cover steady-state live
-    # + one frame of appends: 2/5 of capacity for the shipped configs.
-    # Two tiers by default — every branch duplicates the traced region,
-    # and compile time is the price.
-    fracs = {2: (4, 10), 3: (4, 7, 10)}.get(n_tiers, (4, 10))
-    tiers = sorted({min((E_full * f // 10 + 1023) // 1024 * 1024, E_full)
+    # frame's ~2rM rows), so the tiers must cover steady-state live + one
+    # frame of appends. Keyframe-heavy regimes (strong retirement) sit
+    # near ~20% of the no-eviction capacity, the shipped configs' general
+    # steady state near 40% — hence (25, 40, 100)% for 3 tiers. Every
+    # tier duplicates the traced region; compile time is the price.
+    fracs = {2: (40, 100), 3: (25, 40, 100)}.get(n_tiers, (40, 100))
+    tiers = sorted({min((E_full * f // 100 + 1023) // 1024 * 1024, E_full)
                     for f in fracs})
     fn = body(tiers[-1])
     for t in reversed(tiers[:-1]):
@@ -395,16 +403,14 @@ def update_op(cfg, params, state: SLAMState, t0):
         def f(_):
             sl = slice(None, n_rows)
             kk_sl, valid_sl = state.kk[sl], state.valid[sl]
-            # ONE shared stable sort by (dead, kk) serves both the
-            # neighbor links (within-patch order is ascending-jj by
-            # construction) and the BA per-patch gather table — TPU
-            # argsorts cost ~10 ms each at default-config tiers
-            # (scripts/sort_micro.py); this fuses 3 of them into 1.
+            # ONE argsort per update (inside _group_by_patch): the BA
+            # patch table is the only sorted structure; the neighbor
+            # links derive from it (neighbors_from_table) and the frame
+            # bucketing is counting-based. TPU argsorts cost ~6 ms at
+            # the 88k tier (scripts/sort_micro.py, ba_micro2.py).
             q = kk_sl - m_base
             okq = (q >= 0) & (q < cfg.patch_slots)
             okv = valid_sl & okq
-            order = jnp.argsort(jnp.where(okv, kk_sl, jnp.int32(1 << 30)),
-                                stable=True)
             # BA patch-table membership — ROOT CAUSE of the round-3
             # okq/okv rollout divergence (VERDICT r3 #2), established by
             # scripts/okv_bisect.py and pinned by
@@ -442,13 +448,29 @@ def update_op(cfg, params, state: SLAMState, t0):
             # memory from earlier compactions — under plain okq those
             # could crowd live edges out of steady-state tables
             # nondeterministically.
+            nbr = None
+            order = None
             if _BA_TABLE_MODE == "okv":
+                order = jnp.argsort(
+                    jnp.where(okv, kk_sl, jnp.int32(1 << 30)), stable=True)
                 table = _group_by_patch(q, okv, cfg.patch_slots,
                                         ba_cfg.per_patch_cap, order=order)
             elif _BA_TABLE_MODE == "okq_prefix":
                 okp = okq & (jnp.arange(n_rows) < state.n_edges)
+                key = jnp.where(okp, q, jnp.int32(cfg.patch_slots))
+                order_t = jnp.argsort(key, stable=True)
                 table = _group_by_patch(q, okp, cfg.patch_slots,
-                                        ba_cfg.per_patch_cap)
+                                        ba_cfg.per_patch_cap,
+                                        order=order_t)
+                # neighbor links from the SAME sort via a dead-skipping
+                # scan — saves the second O(E log^2 E) argsort (~6 ms at
+                # the 88k tier) with exact neighbors() semantics (a
+                # table-derived variant that truncated at the cap
+                # measured ATE 0.45 -> 0.67 on walk_s0 from bootstrap
+                # link loss; do not revive it)
+                nbr = neighbors_from_sorted(order_t, key[order_t],
+                                            valid_sl[order_t],
+                                            cfg.patch_slots)
             else:
                 table = _group_by_patch(q, okq, cfg.patch_slots,
                                         ba_cfg.per_patch_cap)
@@ -459,7 +481,7 @@ def update_op(cfg, params, state: SLAMState, t0):
             # gathers beat scatter-adds
             net2, delta, weight, coords = _run_update_net(
                 cfg, params, state, state.net[sl], state.ii[sl],
-                state.jj[sl], kk_sl, valid_sl, n, order=order)
+                state.jj[sl], kk_sl, valid_sl, n, order=order, nbr=nbr)
             target = coords[:, P // 2, P // 2, :].astype(jnp.float32) + \
                 delta.astype(jnp.float32)
             weight = weight.astype(jnp.float32) * \
@@ -608,12 +630,12 @@ def keyframe_shift(cfg, state: SLAMState, retire=True):
 # bookkeeping the host needs (removal flags, relative poses, NaN guards) is
 # appended to a device-side log replayed once at terminate().
 
-def track_and_keyframe(cfg, params, state: SLAMState):
-    state = append_edges(cfg, state)
+def keyframe_and_log(cfg, state: SLAMState):
+    """Post-update tail of the fused frame step: flow metric -> on-device
+    keyframe decision (lax.cond) -> event-log append -> retirement.
+    Shared by `track_and_keyframe` and the multi-chip
+    `parallel.infer_shard.sharded_frame_step`."""
     n = state.n_frames
-    t0 = jnp.maximum(n - cfg.OPTIMIZATION_WINDOW, 1)
-    state = update_op(cfg, params, state, t0)
-
     i = n - cfg.KEYFRAME_INDEX - 1
     j = n - cfg.KEYFRAME_INDEX + 1
     mm = flow_metric(cfg, state, i, j)
@@ -639,6 +661,13 @@ def track_and_keyframe(cfg, params, state: SLAMState):
         log=state.log.at[state.log_idx].set(entry),
         log_idx=state.log_idx + 1)
     return retire_and_compact(cfg, state)
+
+
+def track_and_keyframe(cfg, params, state: SLAMState):
+    state = append_edges(cfg, state)
+    t0 = jnp.maximum(state.n_frames - cfg.OPTIMIZATION_WINDOW, 1)
+    state = update_op(cfg, params, state, t0)
+    return keyframe_and_log(cfg, state)
 
 
 def frame_step(cfg, params, state: SLAMState, image, intrinsics, fac,

@@ -56,6 +56,16 @@ class DPVOConfig:
     # their full correlation surfaces disappear). Off until A/B-timed on
     # hardware; numerics parity-tested either way (tests/test_pallas_corr).
     PALLAS_FUSED: bool = False
+    # Pallas region geometry: "x32" = v1 (16-aligned 32-column regions,
+    # phase-dependent 9-24 px spread bound), "x16" = v4 (exact-origin
+    # 16-column regions via an in-kernel bitcast rotate: half the surface
+    # and 15% faster at the default tiers, uniform 8 px spread bound)
+    PALLAS_VARIANT: str = "x32"
+    # x16 hybrid fallback: clipped edges (patch spread beyond the x16
+    # region) are recomputed through the x32 geometry on this static edge
+    # budget per update (0 = off). Only meaningful with
+    # PALLAS_VARIANT="x16".
+    PALLAS_HYBRID_BUDGET: int = 0
     # device-side per-frame event log capacity (>= total input frames)
     LOG_CAP: int = 8192
     # steady-state frames batched into one lax.scan dispatch (1 = dispatch
