@@ -86,9 +86,14 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
     # staged from a background thread exactly like the production
     # io.stream.Prefetcher(device_upload=True) overlaps decode+upload
     # with device compute
+    import os
     import threading
     dev = {}
     stop = []
+    # In loop-closure mode the LC host work (interval drains, cache
+    # encodes) and the staging thread fight for the build box's single
+    # core; BENCH_NO_STAGE=1 uploads inline instead (A/B probe).
+    stage = os.environ.get("BENCH_NO_STAGE", "") != "1"
 
     def _uploader():
         ti = 0
@@ -99,8 +104,9 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
             else:
                 time.sleep(0.002)
 
-    th = threading.Thread(target=_uploader, daemon=True)
-    th.start()
+    if stage:
+        th = threading.Thread(target=_uploader, daemon=True)
+        th.start()
 
     results = []
     t_start = None
@@ -110,9 +116,13 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
     while windows_done < trials:
         if t >= len(frames):
             frames.extend(synthetic_frames(len(frames), seed=1 + t))
-        while t not in dev:
-            time.sleep(0.0005)
-        slam(t, dev.pop(t), intrinsics=intr)
+        if stage:
+            while t not in dev:
+                time.sleep(0.0005)
+            img_t = dev.pop(t)
+        else:
+            img_t = jax.device_put(frames[t])
+        slam(t, img_t, intrinsics=intr)
         t += 1
         boundary = slam.is_initialized and not slam._pending
         if t_start is None and t >= warmup and boundary:

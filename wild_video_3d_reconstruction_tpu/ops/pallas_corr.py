@@ -25,11 +25,25 @@ a region-matmul formulation that keeps everything in VMEM and feeds the MXU:
      pipeline's revisit detection elides their copies and pl.when skips
      their matmuls.
 
-Approximation: all nine patch-pixel windows of an edge must fit in the
-region, i.e. the reprojected patch spread must be <= 8 px at the pyramid
-level. Pixels exceeding it (extreme perspective) get zero correlation
-rather than shifted samples; the exact XLA path remains available as
-oracle/fallback (cfg.PALLAS_CORR=False).
+Variants (`patch_corr_pyramid_pallas(variant=...)`):
+  * "x32" (v1): 16-aligned 32-column regions, RN=512 surfaces, 3+9+9
+    extraction passes; per-pixel spread bound 24 - (min_x mod 16) px.
+  * "x16" (v4): exact-x-origin 16-column regions carved by an
+    int32-bitcast sublane rotate (Mosaic cannot load at unaligned
+    sublane starts and only rotates 32-bit data), RN=256 surfaces,
+    9+9 extraction passes; uniform 8 px spread bound. 46 vs 54 ms at
+    the default 88k tier, bit-exact on bounded-spread coords; wins at
+    fast-config sizes too (80.9 vs 77.1 FPS end-to-end).
+  * hybrid (`hybrid_budget > 0`, x16 only): spread-clipped edges are
+    recomputed through the x32 geometry on a static edge budget instead
+    of zeroing their windows (the CUDA kernel samples exactly,
+    `correlation_kernel.cu:83-136`; a truly exact XLA-gather fallback
+    costs 3-13 us/edge and is not worth the residual tail). Clip count
+    observable via `return_clip_count`.
+
+Approximation: patch-pixel windows beyond the active variant's spread
+bound (and past the hybrid budget) get zero correlation; the exact XLA
+path remains available as oracle/fallback (cfg.PALLAS_CORR=False).
 
 Measured on v5e (fast config, E=17408, 2 pyramid levels): ~9 ms vs 114 ms
 for the best XLA gather formulation; end-to-end VO 7.2 -> 42+ FPS across
