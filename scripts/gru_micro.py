@@ -103,3 +103,31 @@ def agg_kk_table(n_):
 
 print(f"agg_kk via member table  "
       f"{timeit(agg_kk_table, net):8.2f} ms   (incl. its own sort)")
+
+
+def agg_kk_sorted(n_):
+    key = jnp.where(valid & (kk_seg < args.kk_segs - 1), kk_seg,
+                    jnp.int32(args.kk_segs - 1))
+    order = jnp.argsort(key, stable=True)
+    f = linear(params["agg_kk"]["f"], n_)
+    g = linear(params["agg_kk"]["g"], n_)
+    y = segment.segment_softmax_weighted_sum_sorted(
+        f, g, kk_seg, args.kk_segs - 1, order, valid)
+    return linear(params["agg_kk"]["h"], y)
+
+
+def agg_kk_sorted_noorder(n_, order):
+    f = linear(params["agg_kk"]["f"], n_)
+    g = linear(params["agg_kk"]["g"], n_)
+    y = segment.segment_softmax_weighted_sum_sorted(
+        f, g, kk_seg, args.kk_segs - 1, order, valid)
+    return linear(params["agg_kk"]["h"], y)
+
+
+key0 = jnp.where(valid & (kk_seg < args.kk_segs - 1), kk_seg,
+                 jnp.int32(args.kk_segs - 1))
+order0 = jnp.argsort(key0, stable=True)
+print(f"agg_kk sorted-cumsum     "
+      f"{timeit(agg_kk_sorted, net):8.2f} ms   (incl. its own sort)")
+print(f"agg_kk sorted (order in) "
+      f"{timeit(agg_kk_sorted_noorder, net, order0):8.2f} ms")

@@ -129,3 +129,26 @@ def test_neighbors_from_sorted_matches_neighbors():
     # rows outside the window get no links (they are outside the BA
     # patch window, which covers every live edge in steady state)
     assert (np.asarray(ix1)[~m] == -1).all() or (~m).sum() == 0
+
+
+def test_segment_softmax_sorted_matches_dense():
+    import numpy as np
+
+    from wild_video_3d_reconstruction_tpu.ops.segment import (
+        segment_softmax_weighted_sum_dense,
+        segment_softmax_weighted_sum_sorted)
+
+    rng = np.random.default_rng(5)
+    E, D, S = 700, 32, 50
+    f = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, S, E), jnp.int32)
+    valid = jnp.asarray(rng.random(E) < 0.8)
+    key = jnp.where(valid, ids, jnp.int32(S))
+    order = jnp.argsort(key, stable=True)
+    a = np.asarray(segment_softmax_weighted_sum_dense(f, g, ids, S,
+                                                      valid=valid))
+    b = np.asarray(segment_softmax_weighted_sum_sorted(f, g, ids, S, order,
+                                                       valid=valid))
+    m = np.asarray(valid)[:, None]
+    assert np.abs(np.where(m, a - b, 0)).max() < 1e-4
