@@ -277,6 +277,15 @@ def run_breakdown(config, chunk, fused, frames, intr, buffer, n_feed=40,
         return patch_corr_pyramid_pallas(g, pyr, c, kkm, jjm, radius=3,
                                          valid=v, _surfaces_only=True)
 
+    def corr_clip(s):
+        from wild_video_3d_reconstruction_tpu.ops.pallas_corr import \
+            patch_corr_pyramid_pallas
+        g, pyr, c, kkm, jjm, v = corr_args(s)
+        return patch_corr_pyramid_pallas(
+            g, pyr, c, kkm, jjm, radius=3, valid=v,
+            variant=getattr(cfg, "PALLAS_VARIANT", "x32"),
+            return_clip_count=True)[1]
+
     def run_net(s):
         return steps._run_update_net(cfg, params, s, s.net[sl], s.ii[sl],
                                      s.jj[sl], s.kk[sl], s.valid[sl],
@@ -303,6 +312,8 @@ def run_breakdown(config, chunk, fused, frames, intr, buffer, n_feed=40,
             jnp.float32(1.0), None, initialized=True)), state)
         t_ret = timeit(jax.jit(lambda s: steps.retire_and_compact(cfg, s)),
                        state)
+        n_clip = (int(jax.jit(corr_clip)(state)) if use_pallas else None)
+        n_live = int(np.asarray(state.valid[:T]).sum())
 
         from wild_video_3d_reconstruction_tpu.models.vonet import DIM
         C, RN = 128, 512
@@ -325,6 +336,11 @@ def run_breakdown(config, chunk, fused, frames, intr, buffer, n_feed=40,
             "mfu_corr_surfaces": (round(fl_surf / (t_surf / 1e3)
                                         / PEAK_BF16, 4) if t_surf else None),
             "mfu_update_net": round(fl_net / (t_net / 1e3) / PEAK_BF16, 4),
+            # spread-clip observability (VERDICT r3 #5): edges whose
+            # patch spread exceeds the active variant's region bound
+            "corr_clipped_edges": n_clip,
+            "corr_clip_rate": (round(n_clip / max(n_live, 1), 5)
+                               if n_clip is not None else None),
         }
     except Exception as e:
         stages["error"] = repr(e)
