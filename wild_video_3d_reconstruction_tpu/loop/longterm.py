@@ -275,8 +275,12 @@ class LongTermLoopClosure:
         # two triplet triangulations + RANSAC. The reference pays this
         # cost in a worker process (`netvlad_retrieval.py:16-49`); here
         # false candidates are simply cheap.
+        # default follows the configured 3-D inlier gate (small worlds
+        # configure LOOP_MIN_INLIERS down; the 2-D pre-gate must scale
+        # with it or it rejects every closure they could accept)
         pre_min = int(getattr(self.cfg, "LOOP_PREGATE_MIN",
-                              MIN_NUM_INLIERS))
+                              getattr(self.cfg, "LOOP_MIN_INLIERS",
+                                      MIN_NUM_INLIERS)))
         if pre_min > 0:
             fi, fj = self._frame_feats(i), self._frame_feats(j)
             _, _, ok2d = kp.match(jnp.asarray(fi["desc"]),
