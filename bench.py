@@ -274,8 +274,10 @@ def run_breakdown(config, chunk, fused, frames, intr, buffer, n_feed=40,
         from wild_video_3d_reconstruction_tpu.ops.pallas_corr import \
             patch_corr_pyramid_pallas
         g, pyr, c, kkm, jjm, v = corr_args(s)
-        return patch_corr_pyramid_pallas(g, pyr, c, kkm, jjm, radius=3,
-                                         valid=v, _surfaces_only=True)
+        return patch_corr_pyramid_pallas(
+            g, pyr, c, kkm, jjm, radius=3, valid=v,
+            variant=getattr(cfg, "PALLAS_VARIANT", "x32"),
+            _surfaces_only=True)
 
     def corr_clip(s):
         from wild_video_3d_reconstruction_tpu.ops.pallas_corr import \
@@ -316,7 +318,8 @@ def run_breakdown(config, chunk, fused, frames, intr, buffer, n_feed=40,
         n_live = int(np.asarray(state.valid[:T]).sum())
 
         from wild_video_3d_reconstruction_tpu.models.vonet import DIM
-        C, RN = 128, 512
+        C = 128
+        RN = 256 if getattr(cfg, "PALLAS_VARIANT", "x32") == "x16" else 512
         P16 = 16
         fl_surf = 2.0 * T * P16 * C * RN * 2       # 2 pyramid levels
         fl_net = 2.0 * T * DIM * (882 + DIM * 6)   # corr-enc + GRU matmuls

@@ -221,3 +221,28 @@ def test_pallas_x16_hybrid_covers_clipped():
     # recomputed through it; unclipped edges already agreed)
     assert np.abs(hyb - x32).max() / scale < 2e-2, \
         np.abs(hyb - x32).max() / scale
+
+def test_pallas_x16_unaligned_width():
+    """Regression (r5): W=120 gives an unpadded Wp=136 (not %16); right-edge
+    regions then carry phase = ox - ox16 up to 24, past the kernel's
+    rotate-carve bound of 16, and pltpu.roll wraps in garbage columns that
+    still pass the fits mask. The level pads Wp up to a multiple of 16."""
+    key = jax.random.PRNGKey(11)
+    gmap, pyr, coords, kk, jj = make_inputs(key, E=48, H=64, W=120,
+                                            spread=0.5)
+    # park every edge center hard against the right image edge, where the
+    # clipped region origin exercises the maximal phase
+    fmap, _ = pyr
+    W = fmap.shape[2]
+    x_edge = jax.random.uniform(jax.random.fold_in(key, 3), (48,),
+                                minval=W - 9.0, maxval=W - 3.5)
+    coords = coords.at[..., 0].add(
+        (x_edge - coords[:, 1, 1, 0])[:, None, None])
+    ref = corr_ops.patch_corr_pyramid(gmap, pyr, coords, kk, jj, radius=3)
+    out = pallas_corr.patch_corr_pyramid_pallas(gmap, pyr, coords, kk, jj,
+                                                variant="x16")
+    ref = np.asarray(ref)
+    out = np.asarray(out)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2, \
+        np.abs(out - ref).max() / scale

@@ -87,7 +87,6 @@ def run_pair(images, poses, disps, intr, a, b, params, tol=TOL):
                                < 0.15 * np.maximum(invd_b, 1e-6))
 
     # matchable = a detected b keypoint sits within tol of the transfer
-    db = fa["xy"][:, None, :] * 0  # silence linters
     d2 = np.linalg.norm(xy_b[:, None, :] - fb["xy"][None, :, :], axis=-1)
     d2[:, ~fb["valid"]] = 1e9
     nearest_b = d2.argmin(axis=1)
@@ -98,12 +97,18 @@ def run_pair(images, poses, disps, intr, a, b, params, tol=TOL):
     i0, i1, ok = map(np.asarray, (i0, i1, ok))
     acc_a, acc_b = i0[ok], i1[ok]
     err = np.linalg.norm(fb["xy"][acc_b] - xy_b[acc_a], axis=-1)
-    correct = (err < tol) & vis[acc_a]
+    # precision scores reprojection error alone among in-bounds transfers
+    # (an accepted match that is geometrically right but fails the /4-grid
+    # depth-consistency gate is NOT a false positive — ADVICE r4); the vis
+    # gate only shapes the recall denominator (what was matchABLE).
+    geo_ok = (err < tol) & inb[acc_a]
+    correct_rec = (err < tol) & vis[acc_a]
     n_acc = int(ok.sum())
     n_matchable = int(matchable.sum())
-    n_correct = int(correct.sum())
+    n_correct = int(correct_rec.sum())
     return dict(accepted=n_acc, matchable=n_matchable, correct=n_correct,
-                precision=n_correct / max(n_acc, 1),
+                geo_correct=int(geo_ok.sum()),
+                precision=int(geo_ok.sum()) / max(n_acc, 1),
                 recall=n_correct / max(n_matchable, 1))
 
 
@@ -111,7 +116,7 @@ def run_sweep(params, seeds=4, deltas=DELTAS, ht=96, wd=128, log=print):
     out = {}
     for harden in (False, True):
         for d in deltas:
-            agg = dict(accepted=0, matchable=0, correct=0)
+            agg = dict(accepted=0, matchable=0, correct=0, geo_correct=0)
             for s in range(seeds):
                 rng = np.random.default_rng(1000 + s)
                 images, poses, disps, intr = render_clip(
@@ -120,7 +125,7 @@ def run_sweep(params, seeds=4, deltas=DELTAS, ht=96, wd=128, log=print):
                 r = run_pair(images, poses, disps, intr, 0, d, params)
                 for k in agg:
                     agg[k] += r[k]
-            prec = agg["correct"] / max(agg["accepted"], 1)
+            prec = agg["geo_correct"] / max(agg["accepted"], 1)
             rec = agg["correct"] / max(agg["matchable"], 1)
             key = f"{'hard' if harden else 'clean'}_d{d}"
             out[key] = dict(precision=round(prec, 3), recall=round(rec, 3),

@@ -620,8 +620,14 @@ def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
 
     pad_h = max(PAD, RSH - (H + PAD))
     # the kernel's aligned pre-rotate load is RSW (32) wide even though
-    # the carved region is RSW4 (16): pad tiny maps up to the full load
+    # the carved region is RSW4 (16): pad tiny maps up to the full load.
+    # Wp is then rounded up to a multiple of 16: the rotate-carve only
+    # covers phase = ox - ox16 <= 16, and with Wp % 16 != 0 a right-edge
+    # ox (clipped to Wp - RSW4) can sit up to 16 + Wp % 16 columns past
+    # the last aligned load origin (Wp - RSW rounded down), where
+    # pltpu.roll wraps and emits garbage columns that still pass `fits`.
     pad_w = max(PAD, RSW - (W + PAD))
+    pad_w += -(W + PAD + pad_w) % 16
     fmap_pad = jnp.pad(fmap, ((0, 0), (PAD, pad_h), (PAD, pad_w), (0, 0)))
     Hp = H + PAD + pad_h
     Wp = W + PAD + pad_w
@@ -744,29 +750,46 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
     g_slots = g_small[kk_pad[slot_edge]]
 
     if _surfaces_only:
-        # perf-diagnostic path (scripts/corr_breakdown.py): run only the
-        # surface kernels + a cheap reduction, isolating kernel time from
-        # the masked-shift extraction
+        # perf-diagnostic path (scripts/corr_breakdown.py, bench
+        # --breakdown): run only the surface kernels + a cheap reduction,
+        # isolating kernel time from the masked-shift extraction. Honors
+        # `variant` so the bench's corr_extract_ms = full - surf subtracts
+        # like from like (ADVICE r4).
         acc = 0.0
         for fmap, s in zip(pyramid, levels):
             c = coords.astype(jnp.float32) / s
             F2, H2, W2, C2 = fmap.shape
             pad_h = max(PAD, RSH - (H2 + PAD))
             pad_w = max(PAD, RSW - (W2 + PAD))
+            if variant == "x16":
+                pad_w += -(W2 + PAD + pad_w) % 16
             fmap_pad = jnp.pad(fmap.astype(jnp.bfloat16),
                                ((0, 0), (PAD, pad_h), (PAD, pad_w),
                                 (0, 0)))
+            Hp2 = H2 + PAD + pad_h
+            Wp2 = W2 + PAD + pad_w
             ystart = jnp.floor(c[..., 1]).astype(jnp.int32) - 3 + PAD
             xstart = jnp.floor(c[..., 0]).astype(jnp.int32) - 3 + PAD
             oy = jnp.clip(jnp.min(ystart.reshape(E, P2), axis=1), 0,
-                          H2 + PAD + pad_h - RSH)
-            ox = jnp.clip(
-                (jnp.min(xstart.reshape(E, P2), axis=1) // 16) * 16, 0,
-                ((W2 + PAD + pad_w - RSW) // 16) * 16)
-            origin = jnp.concatenate(
-                [jnp.stack([oy, ox], -1), jnp.zeros((1, 2), jnp.int32)])
-            surf = _surfaces(fmap_pad, bucketing[2], origin[slot_edge],
-                             g_slots, n_slots)
+                          Hp2 - RSH)
+            if variant == "x16":
+                ox = jnp.clip(jnp.min(xstart.reshape(E, P2), axis=1), 0,
+                              Wp2 - RSW4)
+                ox16 = jnp.clip((ox // 16) * 16, 0,
+                                ((Wp2 - RSW) // 16) * 16)
+                origin = jnp.concatenate(
+                    [jnp.stack([oy, ox16, ox - ox16], -1),
+                     jnp.zeros((1, 3), jnp.int32)])
+                surf = _surfaces4(fmap_pad, bucketing[2],
+                                  origin[slot_edge], g_slots, n_slots)
+            else:
+                ox = jnp.clip(
+                    (jnp.min(xstart.reshape(E, P2), axis=1) // 16) * 16,
+                    0, ((Wp2 - RSW) // 16) * 16)
+                origin = jnp.concatenate(
+                    [jnp.stack([oy, ox], -1), jnp.zeros((1, 2), jnp.int32)])
+                surf = _surfaces(fmap_pad, bucketing[2], origin[slot_edge],
+                                 g_slots, n_slots)
             acc = acc + jnp.sum(surf[:, 0, 0].astype(jnp.float32))
         return acc
 

@@ -199,6 +199,14 @@ def sharded_update_op(mesh, cfg, params, state, t0):
         # own members before the psum) — identical to the global table
         # whenever no patch overflows the cap, which holds for live
         # steady-state graphs (live-per-patch <= 2*lifetime + 1 < cap).
+        # BOOTSTRAP caveat (ADVICE r4): during the 12-iteration bootstrap
+        # the table can overflow and per-shard truncation then diverges
+        # from the global row order. The principled fix is the bootstrap
+        # depth damping in ba.gauss_newton (BOOT_DEPTH_LM, r5), which
+        # makes the consistent untruncated system stable — cap overflow
+        # is no longer load-bearing; residual membership differences only
+        # perturb which over-cap rows are dropped, a regime the sharded
+        # path is not used in (multi-chip serving starts post-init).
         E_loc = kk.shape[0]
         gid = jax.lax.axis_index("edges") * E_loc + \
             jnp.arange(E_loc, dtype=jnp.int32)
