@@ -76,7 +76,8 @@ def main():
 
         fns = {}
         for name, kw in (("v1_x32", dict(variant="x32")),
-                         ("v4_x16", dict(variant="x16"))):
+                         ("v4_x16", dict(variant="x16")),
+                         ("v5_x16f", dict(variant="x16", fused=True))):
             fns[name] = jax.jit(
                 lambda g, f1, f2, c, k_, j_, v, kw=kw:
                 pc.patch_corr_pyramid_pallas(
@@ -90,6 +91,8 @@ def main():
             print(f"E={E:7d} {name}: {t:8.2f} ms")
         d = np.abs(outs["v1_x32"] - outs["v4_x16"]).max()
         print(f"E={E:7d} max|v1-v4| (low-spread coords) = {d:.3e}")
+        d5 = np.abs(outs["v4_x16"] - outs["v5_x16f"]).max()
+        print(f"E={E:7d} max|v4-v5fused| = {d5:.3e}")
 
 
 if __name__ == "__main__":

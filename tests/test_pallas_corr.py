@@ -246,3 +246,19 @@ def test_pallas_x16_unaligned_width():
     scale = np.abs(ref).max() + 1e-6
     assert np.abs(out - ref).max() / scale < 2e-2, \
         np.abs(out - ref).max() / scale
+
+def test_pallas_x16_fused_matches_oracle():
+    """v5 fused x16 (in-kernel extraction + blend): parity on
+    bounded-spread coords, including the unaligned-width geometry."""
+    for seed, kw in ((13, {}), (17, dict(H=64, W=120))):
+        gmap, pyr, coords, kk, jj = make_inputs(jax.random.PRNGKey(seed),
+                                                **kw)
+        ref = corr_ops.patch_corr_pyramid(gmap, pyr, coords, kk, jj,
+                                          radius=3)
+        out = pallas_corr.patch_corr_pyramid_pallas(
+            gmap, pyr, coords, kk, jj, variant="x16", fused=True)
+        ref = np.asarray(ref)
+        out = np.asarray(out)
+        scale = np.abs(ref).max() + 1e-6
+        assert np.abs(out - ref).max() / scale < 2e-2, \
+            (kw, np.abs(out - ref).max() / scale)

@@ -172,15 +172,19 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from .utils.config import load_config
+    from .utils.resources import resource_path
 
-    cfg = load_config(args.config if os.path.exists(args.config) else None)
+    config = resource_path(args.config)
+    cfg = load_config(config if os.path.exists(config) else None)
     cfg = cfg.merge_from_dict({"BUFFER_SIZE": args.buffer,
                                "loop_enabled": args.loop_enabled})
     if args.opts:
         cfg = cfg.merge_from_list(args.opts)
     print(cfg.dump())
 
-    network = args.network if os.path.exists(args.network) else None
+    args.calib = resource_path(args.calib)
+    network = resource_path(args.network)
+    network = network if os.path.exists(network) else None
     if network is None:
         print(f"WARNING: checkpoint {args.network} not found; "
               "using random weights")

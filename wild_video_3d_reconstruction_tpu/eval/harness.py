@@ -149,9 +149,13 @@ def main(argv=None):
     args = ap.parse_args(argv)
     import os
 
-    network = args.network if os.path.exists(args.network) else None
-    evaluate(args.dataset, args.datapath, network, args.config,
-             args.trials, args.stride, args.scenes)
+    from ..utils.resources import resource_path
+
+    network = resource_path(args.network)
+    network = network if os.path.exists(network) else None
+    evaluate(args.dataset, args.datapath, network,
+             resource_path(args.config), args.trials, args.stride,
+             args.scenes)
 
 
 if __name__ == "__main__":

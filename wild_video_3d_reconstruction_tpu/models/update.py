@@ -41,7 +41,12 @@ def _corr_encoder(params, x):
 
 
 def _gated_residual(params, x):
-    """x + sigmoid(gate(x)) * res(x)  (`dpvo/blocks.py:15-29`)."""
+    """x + sigmoid(gate(x)) * res(x)  (`dpvo/blocks.py:15-29`).
+
+    r5 measured dead end: fusing the gate and res first layers into one
+    [D, 2D] matmul (same bytes of x streamed once) ran 0.7 ms SLOWER at
+    the 55k tier — XLA pipelines the two [E,384]x[384,384] matmuls better
+    than one [E,384]x[384,768]. Same result for the SoftAgg f/g pair."""
     gate = jax.nn.sigmoid(linear(params["gate"]["0"], x))
     res = linear(params["res"]["2"], jax.nn.relu(linear(params["res"]["0"], x)))
     return x + gate * res

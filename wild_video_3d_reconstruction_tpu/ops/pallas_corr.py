@@ -154,6 +154,114 @@ def _corr_kernel4(meta_ref, origin_ref, g_ref, fmap_ref, out_ref):
 ECH = 16        # edges per extraction chunk (bounds live vector state)
 
 
+def _corr_fused_kernel4(meta_ref, origin_ref, offs_ref, g_ref, fmap_ref,
+                        out_ref, s_ref):
+    """Fused x16 correlation (v5): the v4 rotate-carve matmul + in-kernel
+    window extraction + bilinear blend.
+
+    The unfused x16 path writes [n_slots, P2, RN4] surfaces to HBM and
+    extracts windows with 9+9 masked-shift XLA passes streaming them back
+    (the r4 default-config profile bills that extraction at ~16 ms/frame).
+    Here the surfaces stay in a VMEM scratch and the selection passes run
+    on VMEM-resident chunks — the r4 "flat-lane extraction is 2x slower"
+    dead end measured HBM-streaming XLA passes, which is exactly the
+    traffic this kernel deletes (out-traffic also drops 4x: [P16, 64]
+    windows instead of [P16, 256] surfaces).
+
+    Flat 128-lane layout (lane = wy*16 + x): rel_y/rel_x are both in
+    [0, 8] for the x16 geometry, so selection is 9 y-shifts of 16-lane
+    groups + 9 fine x-shifts — no coarse pass. Lane v of row wy holds
+    window column v; v + fxi <= 15 keeps every used select in-row, and
+    the v=7 / wy=7 blend wrap garbage is sliced off by the caller.
+    """
+    b = pl.program_id(0)
+
+    @pl.when(meta_ref[b, 1] == b)
+    def _():
+        nE = g_ref.shape[0]
+        for e in range(nE):            # unrolled: rotate-carve + matmul
+            oy = origin_ref[e, 0]
+            ox = pl.multiple_of(origin_ref[e, 1], 16)
+            r = origin_ref[e, 2]
+            reg32 = fmap_ref[0, pl.ds(oy, RSH), pl.ds(ox, RSW), :]
+            ri = pltpu.bitcast(reg32, jnp.int32)
+            ri = pltpu.roll(ri, -(r // 2), axis=1)
+            rb = pltpu.bitcast(ri, jnp.bfloat16)
+            region = jnp.where((r % 2) == 1,
+                               rb[:, 1:RSW4 + 1, :], rb[:, :RSW4, :])
+            S = jax.lax.dot_general(
+                g_ref[e], region.reshape(RN4, -1), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [P16, RN4]
+            s_ref[e] = S.astype(jnp.bfloat16)
+
+        ech = min(ECH, nE)
+        for c0 in range(0, nE, ech):
+            S3 = s_ref[c0:c0 + ech]                      # [ech, P16, 256]
+            offs = offs_ref[c0:c0 + ech]                 # [ech, P16, 8]
+            rely = offs[:, :, 0:1]
+            fxi = offs[:, :, 1:2]
+            fx = offs[:, :, 2:3]
+            fy = offs[:, :, 3:4]
+            z16 = jnp.zeros((ech, P16, 16), jnp.bfloat16)
+            # y-window selection: lane wy*16+x <- lane (rely+wy)*16+x
+            t = jnp.zeros((ech, P16, 128), jnp.bfloat16)
+            for s in range(RSH - 8 + 1):
+                t = t + jnp.where(rely == s,
+                                  S3[:, :, RSW4 * s:RSW4 * s + 128], 0)
+            # x fine shift: lane wy*16+v <- lane wy*16+v+f (v+f <= 15)
+            tp = jnp.concatenate([t, z16], axis=2)
+            t = jnp.zeros((ech, P16, 128), jnp.bfloat16)
+            for f in range(RSW4 - 8 + 1):
+                t = t + jnp.where(fxi == f, tp[:, :, f:f + 128], 0)
+            # bilinear blend of the four integer shifts (fp32)
+            t32 = t.astype(jnp.float32)
+            tpad = jnp.concatenate(
+                [t32, jnp.zeros((ech, P16, 32), jnp.float32)], axis=2)
+            out = ((1 - fx) * (1 - fy) * t32
+                   + fx * (1 - fy) * tpad[:, :, 1:129]
+                   + (1 - fx) * fy * tpad[:, :, 16:144]
+                   + fx * fy * tpad[:, :, 17:145])
+            outb = out.astype(jnp.bfloat16)
+            out_ref[c0:c0 + ech] = jnp.concatenate(
+                [outb[:, :, 16 * wy:16 * wy + 8] for wy in range(8)],
+                axis=2)                                  # [ech, P16, 64]
+
+
+def _surfaces_fused4(fmap_pad, block_meta, origin, offs, g, n_slots):
+    """Run the fused x16 kernel; returns blended windows
+    [n_slots, P16, 64] bf16, lane = wy*8 + wx (wy/wx = 7 garbage)."""
+    F, Hp, Wp, C = fmap_pad.shape
+    n_blocks = block_meta.shape[0]
+    EB = n_slots // n_blocks
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((EB, 3), lambda b, meta: (meta[b, 1], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EB, P16, 8), lambda b, meta: (meta[b, 1], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EB, P16, C), lambda b, meta: (meta[b, 1], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, Wp, C),
+                         lambda b, meta: (meta[b, 0], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((EB, P16, 64),
+                               lambda b, meta: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((EB, P16, RN4), jnp.bfloat16)],
+    )
+    return pl.pallas_call(
+        _corr_fused_kernel4,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_slots, P16, 64), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(40e6)),
+    )(block_meta, origin, offs, g, fmap_pad)
+
+
 def _corr_fused_kernel(meta_ref, origin_ref, offs_ref, g_ref, fmap_ref,
                        out_ref, s_ref):
     """Fused correlation: matmul surfaces + window extraction + bilinear
@@ -570,6 +678,12 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
     # take_along_axis lane gather at SLAM sizes (scripts/extract_micro.py;
     # folding the bilinear blends INTO the selection passes also measured
     # slower — the fp32 blend operands quadruple the per-candidate bytes).
+    # A barrel-shifter formulation (4-5 conditional power-of-two shifts
+    # per axis instead of 9-12 masked adds) measured ~2x SLOWER on v5e
+    # (x32 33.6 -> 62.2 ms, x16 28.3 -> 40.0 at E=55k, r5): the masked
+    # adds all read the SAME immutable source and XLA fuses the whole sum
+    # into one pass, while the barrel stages form a serial chain of
+    # pad+select copies. Do not retry without new evidence.
     # bf16 buffers: the masked sums are exact selections (exactly one mask
     # is 1 per position), so no accumulation error is introduced.
     # x runs first (it narrows 32 lanes to 8 before the y pass touches the
@@ -607,13 +721,15 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
     return out, clip_e
 
 
-def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
+def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
+                        fused=False):
     """v4: one pyramid level with exact-x 16-column regions (RN4 = 256).
 
     Same contract as `_pallas_corr_level` (slot-ordered [n_slots, P2, 7, 7]
     fp32, zero outside image/region) but the surface is half the size and
     the extraction needs only 9 x-shift + 9 y-shift passes. The x spread
-    bound is a uniform 8 px (see _corr_kernel4 note)."""
+    bound is a uniform 8 px (see _corr_kernel4 note). fused=True runs the
+    v5 kernel (in-kernel extraction + blend, `_corr_fused_kernel4`)."""
     E = coords_e.shape[0]
     F, H, W, C = fmap.shape
     slot_edge, slot_of_edge, block_meta = bucketing
@@ -663,6 +779,34 @@ def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
     origin = jnp.stack([oy, ox16, phase], axis=-1)
     origin = jnp.concatenate([origin, jnp.zeros((1, 3), jnp.int32)], axis=0)
 
+    if fused:
+        fy = (coords_e[..., 1] - jnp.floor(coords_e[..., 1])).reshape(E, P2)
+        fx = (coords_e[..., 0] - jnp.floor(coords_e[..., 0])).reshape(E, P2)
+
+        def to_slots16(a, fill=0):
+            a_p = jnp.concatenate(
+                [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+            a_s = a_p[slot_edge]                        # [n_slots, P2]
+            pad = jnp.zeros((n_slots, P16 - P2), a.dtype)
+            return jnp.concatenate([a_s, pad], axis=1)
+
+        offs = jnp.stack([
+            to_slots16(rel_y.astype(jnp.float32)),
+            to_slots16(rel_x.astype(jnp.float32)),
+            to_slots16(fx.astype(jnp.float32)),
+            to_slots16(fy.astype(jnp.float32)),
+            jnp.zeros((n_slots, P16), jnp.float32),
+            jnp.zeros((n_slots, P16), jnp.float32),
+            jnp.zeros((n_slots, P16), jnp.float32),
+            jnp.zeros((n_slots, P16), jnp.float32)], axis=-1)
+        win = _surfaces_fused4(
+            fmap_pad.astype(jnp.bfloat16), block_meta, origin[slot_edge],
+            offs, gmap_slots, n_slots)                 # [n_slots, P16, 64]
+        out = win[:, :P2].reshape(n_slots, P2, 8, 8)[:, :, :7, :7] \
+            .astype(jnp.float32)
+        inreg = to_slots16(in_region.astype(jnp.float32))[:, :P2]
+        return out * inreg[:, :, None, None], clip_e
+
     surf = _surfaces4(fmap_pad.astype(jnp.bfloat16),
                       block_meta,
                       origin[slot_edge],
@@ -689,7 +833,12 @@ def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing):
     # width, lane = y*16+x) measured 2x SLOWER (88 vs 46 ms at E=88k on
     # v5e): early narrowing (16 -> 8 columns after the x pass) beats
     # lane-utilization games because later passes stream 2-16x fewer
-    # bytes. Do not retry without new evidence.
+    # bytes. Two more r5 dead ends: a barrel-shifter formulation (4
+    # conditional power-of-two shifts per axis) measured 40.0 vs 28.3 ms
+    # at E=55k — the masked adds read one immutable source and fuse into
+    # a single XLA pass, the barrel is a serial pad+select copy chain —
+    # and the v5 fused kernel (extraction in VMEM, `_corr_fused_kernel4`)
+    # measured 53.7 vs 28.3 ms. Do not retry either without new evidence.
     t2 = jnp.zeros((n_slots, P2, RSH, 8), jnp.bfloat16)
     for f in range(RSW4 - 8 + 1):
         m = (rel_x_s == f)[:, :, None, None]
@@ -797,10 +946,10 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
     clips = []
     for fmap, s in zip(pyramid, levels):
         c = coords.astype(jnp.float32) / s
-        if variant == "x16" and not fused:
+        if variant == "x16":
             out, clip_e = _pallas_corr_level4(
                 g_slots, fmap.astype(jnp.bfloat16), c, jj, n_slots,
-                bucketing)
+                bucketing, fused=fused)
         else:
             out, clip_e = _pallas_corr_level(
                 g_slots, fmap.astype(jnp.bfloat16), c, jj, n_slots,
@@ -825,7 +974,7 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
     if valid is not None:
         clip_any = clip_any & jnp.asarray(valid).astype(bool)
 
-    if hybrid_budget > 0 and variant == "x16" and not fused:
+    if hybrid_budget > 0 and variant == "x16":
         # Hybrid exact-er fallback (VERDICT r3 #5): edges whose patch
         # spread exceeds the x16 region get recomputed through the x32
         # geometry (bound 9-24 px depending on alignment phase) on a

@@ -283,14 +283,8 @@ def sharded_frame_step(mesh, cfg, params, state, image, intrinsics, fac):
     net2, target, weight, poses, patches = sharded_update_op(
         mesh, cfg, params, state, t0)
 
-    # world-point refresh (mirrors steps.update_op's tail, replicated)
-    M = cfg.PATCHES_PER_FRAME
-    ix = jnp.arange(state.patches.shape[0], dtype=jnp.int32) // M
-    from ..models.vonet import P as PATCH_P
-    pts = pops.point_cloud(poses, patches, state.intrinsics, ix)
-    pc = pts[:, PATCH_P // 2, PATCH_P // 2, :]
-    points = pc[:, :3] / jnp.where(jnp.abs(pc[:, 3:]) > 1e-8, pc[:, 3:], 1.0)
-
+    # points are computed on demand (`steps.compute_points`), mirroring
+    # the unsharded update_op's r5 change
     state = state._replace(net=net2, target=target, weight=weight,
-                           poses=poses, patches=patches, points=points)
+                           poses=poses, patches=patches)
     return steps.keyframe_and_log(cfg, state)

@@ -627,7 +627,17 @@ class DPVO:
         return fig
 
     def points_and_colors(self):
-        """World points + RGB colors for the live map (`dpvo/dpvo.py:255-273`)."""
+        """World points + RGB colors for the live map (`dpvo/dpvo.py:255-273`).
+
+        Points are recomputed on demand (the steady-state loop no longer
+        refreshes them every update — see `steps.update_op`), so the
+        result reflects the CURRENT poses/depths including any loop-
+        closure rescaling."""
+        from .steps import compute_points
+        if not hasattr(self, "_points_jit"):
+            self._points_jit = jax.jit(
+                lambda s: compute_points(self.cfg, s))
+        self.state = self.state._replace(points=self._points_jit(self.state))
         m = self.m
         n = self.n
         pts = np.asarray(self.state.points[:m])

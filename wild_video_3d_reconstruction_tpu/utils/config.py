@@ -192,7 +192,8 @@ class DPVOConfig:
 def load_config(yaml_path=None, **overrides):
     cfg = DPVOConfig()
     if yaml_path:
-        cfg = cfg.merge_from_file(yaml_path)
+        from .resources import resource_path
+        cfg = cfg.merge_from_file(resource_path(yaml_path))
     if overrides:
         cfg = cfg.merge_from_dict(overrides)
     return cfg
