@@ -90,10 +90,15 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
     import threading
     dev = {}
     stop = []
-    # In loop-closure mode the LC host work (interval drains, cache
-    # encodes) and the staging thread fight for the build box's single
-    # core; BENCH_NO_STAGE=1 uploads inline instead (A/B probe).
-    stage = os.environ.get("BENCH_NO_STAGE", "") != "1"
+    # In loop-closure mode frames MUST be fed as host arrays: the LC
+    # ingest keeps each frame for the JPEG cache, and a device-staged
+    # frame would be fetched BACK through the relay at ~60 ms/frame
+    # (measured r5 — this was the entire r4 "LC-mode bench gap";
+    # lc_host_ms_per_frame.lc_replay_ingest in the JSON pins it). The
+    # chunk path still uploads host frames in one device_put per chunk,
+    # so upload stays batched. BENCH_NO_STAGE=1 disables staging for
+    # non-loop A/B probes.
+    stage = os.environ.get("BENCH_NO_STAGE", "") != "1" and not loop
 
     def _uploader():
         ti = 0
@@ -120,6 +125,17 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
             while t not in dev:
                 time.sleep(0.0005)
             img_t = dev.pop(t)
+        elif loop:
+            # host array: the LC ingest keeps the frame for the JPEG
+            # cache; a device-resident frame would be fetched BACK
+            # through the relay at ~80 ms/frame when fetched blocking
+            # (measured r5 — this was the r4 "LC-mode bench gap"; see
+            # lc_host_ms_per_frame). DPVO now pipelines those fetches
+            # async (slam._lc_sync); BENCH_LOOP_DEVICE=1 feeds staged
+            # device arrays to A/B exactly that production path.
+            img_t = (jax.device_put(frames[t])
+                     if os.environ.get("BENCH_LOOP_DEVICE", "") == "1"
+                     else frames[t])
         else:
             img_t = jax.device_put(frames[t])
         slam(t, img_t, intrinsics=intr)
@@ -129,6 +145,8 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
             sync()             # a VALUE fetch is the only true device sync
             t_start = time.perf_counter()
             n_start = slam._events_dispatched
+            perf0 = dict(slam.perf)
+            n_ev0 = n_start
         elif t_start is not None and boundary and \
                 slam._events_dispatched - n_start >= timed:
             sync()
@@ -141,6 +159,15 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
 
     stop.append(1)
     fps, loop_ms = max(results)
+    # LC-mode decomposition (VERDICT r4 #4): named host-side components
+    # accumulated by DPVO.perf over the TIMED windows only (warmup +
+    # compilation excluded via the first-window snapshot), in ms/frame,
+    # so the loop_ms - device_ms residual is attributable from the JSON
+    lc_perf = None
+    if loop and slam._events_dispatched - n_ev0 > 0:
+        n_ev = slam._events_dispatched - n_ev0
+        lc_perf = {k: round(1000.0 * (v - perf0.get(k, 0.0)) / n_ev, 2)
+                   for k, v in sorted(slam.perf.items())}
     # sustained = every timed window pooled (the number a long run sees;
     # best-window alone hides tier excursions — VERDICT r4 #2)
     fps_sustained = round(
@@ -193,6 +220,7 @@ def run_candidate(config, chunk, fused, frames, intr, warmup, timed,
         "fps_sustained": fps_sustained,
         "loop_ms": round(loop_ms, 2),
         "device_ms": round(device_ms, 2) if device_ms else None,
+        **({"lc_host_ms_per_frame": lc_perf} if lc_perf else {}),
         "overhead_ms": overhead,
         **({"overhead_ms_raw": overhead_raw}
            if overhead_raw is not None and overhead_raw < 0 else {}),
@@ -470,6 +498,8 @@ def main():
     }
     if "overhead_ms_raw" in best:
         out["overhead_ms_raw"] = best["overhead_ms_raw"]
+    if best.get("lc_host_ms_per_frame"):
+        out["lc_host_ms_per_frame"] = best["lc_host_ms_per_frame"]
 
     def _winner_breakdown(config, key, buffer):
         parts = key.replace("chunk", "").split("_fused")

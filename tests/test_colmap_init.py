@@ -75,3 +75,42 @@ def test_focal_exact_from_noiseless_matches():
         pairs = _pairs(f_gt, noise=0.0, seed=2)
         f, _, _ = estimate_focal(pairs, (H, W))
         assert abs(f - f_gt) / f_gt < 0.02, (f, f_gt)
+
+def test_confidence_escalates_on_narrow_fov():
+    """r5 (VERDICT r4 #7): the confidence predictor flags the narrow-FOV
+    regime (predicted focal error >= 10%) and clears the EuRoC-class
+    wide-FOV regime."""
+    from wild_video_3d_reconstruction_tpu.init.colmap_init import \
+        calibration_confidence
+
+    for f_over_w, seed in ((1.6, 1), (0.61, 0)):
+        f_gt = f_over_w * W
+        pairs = _pairs(f_gt, seed=seed)
+        f, cx, cy = estimate_focal(pairs, (H, W))
+        conf = calibration_confidence(pairs, f, cx, cy, (H, W))
+        if f_over_w > 1.4:
+            assert conf["predicted_err_pct"] >= 10.0, conf
+        else:
+            assert conf["predicted_err_pct"] <= 8.0, conf
+        assert conf["fov_deg"] > 0
+
+
+def test_confidence_written_next_to_estimate(tmp_path, monkeypatch):
+    """run_colmap_initialization writes calib_confidence.json with the
+    escalation flag when falling back to two-view self-calibration."""
+    import wild_video_3d_reconstruction_tpu.init.colmap_init as ci
+
+    frames = [f"fake{i}.png" for i in range(4)]
+    monkeypatch.setattr(ci, "select_keyframes",
+                        lambda *a, **k: frames)
+    monkeypatch.setattr(ci, "_try_pycolmap", lambda *a, **k: None)
+    f_gt = 1.6 * W
+    monkeypatch.setattr(ci, "_match_pairs",
+                        lambda fr, params=None: (_pairs(f_gt, seed=1),
+                                                 (H, W)))
+    calib = ci.run_colmap_initialization("unused", path=str(tmp_path))
+    assert calib.shape == (4,)
+    import json
+    conf = json.loads((tmp_path / "calib_confidence.json").read_text())
+    assert conf["escalated"] is True
+    assert conf["predicted_err_pct"] >= 10.0

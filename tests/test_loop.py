@@ -285,3 +285,38 @@ def test_pgo_device_matches_host():
     rh, rd = loop_residual(host), loop_residual(dev)
     assert rd < 0.05, rd
     assert abs(rh - rd) < 0.05, (rh, rd)
+
+
+def test_drift_gate_consistent():
+    """r5 closure benefit gate: tiny corrections (map already agrees) are
+    consistent; genuine drift-scale corrections pass the gate."""
+    import jax.numpy as jnp
+
+    from wild_video_3d_reconstruction_tpu.loop.longterm import \
+        drift_gate_consistent
+    from wild_video_3d_reconstruction_tpu.ops import lie
+
+    # straight-line path of unit steps, i revisits j's location
+    n = 12
+    poses = np.zeros((n, 7), np.float32)
+    poses[:, 6] = 1.0
+    poses[:, 0] = -np.arange(n, dtype=np.float32)  # w2c t = -center
+    i, j = 10, 1
+
+    # measurement that EXACTLY matches VO: correction ~ 0 -> consistent
+    vo_rel = np.asarray(lie.se3_to_sim3(lie.se3_mul(
+        jnp.asarray(poses[j]), lie.se3_inv(jnp.asarray(poses[i])))))
+    ok, t_frac, ds = drift_gate_consistent(vo_rel, poses, i, j, gate=0.02)
+    assert ok and t_frac < 1e-6 and ds < 1e-6
+
+    # measurement displaced by 10% of the path length -> must APPLY
+    meas = vo_rel.copy()
+    meas[0] += 0.1 * (i - j)
+    ok, t_frac, _ = drift_gate_consistent(meas, poses, i, j, gate=0.02)
+    assert not ok and t_frac > 0.05, t_frac
+
+    # scale-only drift of 5% -> must APPLY
+    meas = vo_rel.copy()
+    meas[7] *= 1.05
+    ok, _, ds = drift_gate_consistent(meas, poses, i, j, gate=0.02)
+    assert not ok and ds > 0.04, ds

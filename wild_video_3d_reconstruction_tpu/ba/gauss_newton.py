@@ -61,6 +61,20 @@ class BAConfig(NamedTuple):
     # (`ba_cuda.cu:160-210`: d > 20 -> 1.0, floor 1e-4); "train" = the
     # python training BA's clamp (`dpvo/ba.py:183`: clamp(1e-3, 10.0))
     depth_clamp: str = "cuda"
+    # per-iteration trust region on the inverse-depth step (r5): |dZ| is
+    # clamped to this many inverse-depth units per GN iteration. The
+    # reference's absolute damping Q = 1/(C + 1e-4) (`ba_cuda.cu:492`)
+    # explodes when C = sum w * Jz^2 ~ 0 while u = sum w * Jz * r stays
+    # noisy, so dZ = Q * u can be thousands of inverse-depth units in one
+    # step (then the >20 reset / 1e-4 floor thrash). The map is scale-
+    # normalized (mean inverse depth ~ 1), so one unit is a principled
+    # per-iteration bound: legit steady-state steps are far smaller.
+    # NOTE this is a runaway BACKSTOP, not a bootstrap fix — r5 captured-
+    # input experiments show the bootstrap collapse of the consistent
+    # system persists under any clamp (the depth signal itself is wrong
+    # there; see slam/steps.py update_op). None disables (exact reference
+    # semantics).
+    depth_step_clamp: float | None = 1.0
 
 
 def _group_by_patch(q, okq, M_, cap, order=None):
@@ -278,6 +292,8 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
     dX = jnp.where(ok, dX, 0.0)
     dZ = Q * (u - Em.T @ dX)                                   # [M]
     dZ = jnp.where(ok & jnp.isfinite(dZ), dZ, 0.0)
+    if cfg.depth_step_clamp is not None:
+        dZ = jnp.clip(dZ, -cfg.depth_step_clamp, cfg.depth_step_clamp)
 
     # ---- pose retraction over [t0, t1) -----------------------------------
     # dead window slots are routed to a sentinel row (duplicate clipped

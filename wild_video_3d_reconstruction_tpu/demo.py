@@ -46,8 +46,14 @@ def run(cfg, network, imagedir, depthdir, maskdir, calib, stride=1, skip=0,
                               skip, end) if os.path.isdir(imagedir) else \
         stream.video_frames(imagedir, calib, stride, skip)
     # device_upload: the prefetch thread stages frames on the chip so the
-    # host->device copy overlaps the previous frame's compute
-    reader = stream.Prefetcher(gen, maxsize=8, device_upload=True)
+    # host->device copy overlaps the previous frame's compute. In loop-
+    # closure mode frames stay HOST-side: the LC ingest keeps each frame
+    # for the JPEG cache, and reading a device-staged frame back through
+    # a relay-attached TPU costs ~80 ms/frame blocking (r5; DPVO also
+    # pipelines such fetches async as a fallback, but not staging at all
+    # is strictly better — the dispatch path batch-uploads per chunk).
+    reader = stream.Prefetcher(gen, maxsize=8,
+                               device_upload=not loop_enabled)
 
     slam = None
     visualizer = None

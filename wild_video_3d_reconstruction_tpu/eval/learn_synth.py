@@ -95,7 +95,8 @@ def main(steps=200, batch=4, eval_clips=8, lr=3e-4, seed=0, frames=6,
     t0 = time.time()
     for s in range(steps):
         b = make_world_batch(seed * 1000 + s, batch, tc, ht=ht, wd=wd,
-                             harden=harden)
+                             harden=(s % 2 == 0) if harden == "mix"
+                             else harden)
         batch_dev = {k: jax.numpy.asarray(v) for k, v in b.items()}
         params, opt_state, metrics = step_fn(params, opt_state, batch_dev,
                                              jax.random.PRNGKey(s))
@@ -132,8 +133,9 @@ if __name__ == "__main__":
                     help="directory to save the trained params")
     ap.add_argument("--resume", type=str, default=None,
                     help="orbax checkpoint dir to continue from")
-    ap.add_argument("--harden", action="store_true",
-                    help="train on hardened worlds (moving occluders + "
+    ap.add_argument("--harden", nargs="?", const=True, default=False,
+                    help="train on hardened worlds; 'mix' alternates "
+                         "clean/hardened batches (moving occluders + "
                          "exposure jitter); held-out eval stays clean")
     args = ap.parse_args()
     main(steps=args.steps, batch=args.batch, eval_clips=args.eval_clips,

@@ -85,7 +85,8 @@ def run(frames, intr, ht, wd, loop, lc_kw, params=None, cfg_kw=None):
     for t, img in enumerate(frames):
         slam(t, img, intrinsics=intr)
     poses, tstamps = slam.terminate()
-    return poses, tstamps, (lc.lc_count if lc else 0)
+    n_lc = (lc.lc_count, lc.lc_consistent) if lc else (0, 0)
+    return poses, tstamps, n_lc
 
 
 def main():
@@ -169,7 +170,8 @@ def main():
         g1 = gap(p1, t1)
         rows.append({"seed": seed, "no_loop": round(g0, 4),
                      "with_loop": round(g1, 4),
-                     "closures_fired": int(n_lc)})
+                     "closures_applied": int(n_lc[0]),
+                     "closures_consistent": int(n_lc[1])})
         print(json.dumps({"metric": "revisit_gap_seed", **rows[-1]}),
               flush=True)
 

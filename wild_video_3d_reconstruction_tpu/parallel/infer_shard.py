@@ -175,7 +175,9 @@ def sharded_update_op(mesh, cfg, params, state, t0):
     m_base = jnp.maximum(n - (cfg.patch_window_frames - 1), 0) * M
     ba_cfg = BAConfig(window=cfg.ba_window, patch_slots=cfg.patch_slots,
                       iterations=2,
-                      per_patch_cap=2 * cfg.PATCH_LIFETIME + 2)
+                      per_patch_cap=2 * cfg.PATCH_LIFETIME + 2,
+                      depth_step_clamp=(
+                          getattr(cfg, "DEPTH_STEP_CLAMP", 1.0) or None))
     FW = cfg.frame_window
     fd = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
 
@@ -201,12 +203,13 @@ def sharded_update_op(mesh, cfg, params, state, t0):
         # steady-state graphs (live-per-patch <= 2*lifetime + 1 < cap).
         # BOOTSTRAP caveat (ADVICE r4): during the 12-iteration bootstrap
         # the table can overflow and per-shard truncation then diverges
-        # from the global row order. The principled fix is the bootstrap
-        # depth damping in ba.gauss_newton (BOOT_DEPTH_LM, r5), which
-        # makes the consistent untruncated system stable — cap overflow
-        # is no longer load-bearing; residual membership differences only
-        # perturb which over-cap rows are dropped, a regime the sharded
-        # path is not used in (multi-chip serving starts post-init).
+        # from the global row order — and r5 established that bootstrap
+        # membership is genuinely load-bearing (see slam/steps.py
+        # update_op's note: the consistent system collapses there,
+        # reference-faithfully). The sharded path is therefore for
+        # POST-INITIALIZATION states only (multi-chip serving starts
+        # after init; `sharded_frame_step` equality with the unsharded
+        # program is asserted on initialized states by dryrun_multichip).
         E_loc = kk.shape[0]
         gid = jax.lax.axis_index("edges") * E_loc + \
             jnp.arange(E_loc, dtype=jnp.int32)

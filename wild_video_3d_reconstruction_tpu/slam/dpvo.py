@@ -20,6 +20,8 @@ runs, which are host-orchestrated by nature.
 
 from __future__ import annotations
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +71,10 @@ class DPVO:
         self.is_initialized = False
         self.counter = 0          # input frames seen
         self.tlist = []           # input timestamps
+        # wall-clock accumulators for the LC-mode bench decomposition
+        # (seconds; bench.py --loop divides by frames and embeds them in
+        # the JSON — VERDICT r4 #4)
+        self.perf = {}
         self.n_host = 0           # accepted keyframes (exact pre-init only)
         self.parked = []          # counters parked pre-init
         self.tstamps = np.zeros(cfg.BUFFER_SIZE, dtype=np.int64)
@@ -153,7 +159,8 @@ class DPVO:
         self._track = jax.jit(
             lambda state, params: steps.track_step(cfg, params, state))
         self._update_only = jax.jit(
-            lambda state, params, t0: steps.update_op(cfg, params, state, t0))
+            lambda state, params, t0, lam=jnp.float32(1e-4):
+            steps.update_op(cfg, params, state, t0, lam=lam))
 
         def _refine(state, params):
             t0 = jnp.maximum(state.n_frames - cfg.OPTIMIZATION_WINDOW, 1)
@@ -272,13 +279,33 @@ class DPVO:
             self.loop_closure(np.asarray(image), self.n_host - 1,
                               self.counter - 1)
 
+        if not self.is_initialized:
+            # Append forward+backward factors for EVERY accepted warm-up
+            # frame, exactly like the reference (`dpvo/dpvo.py:855-856`
+            # runs before the warm-up check). r5 root cause: the rebuild
+            # previously appended only ONCE at initialization, so the
+            # 12-iteration bootstrap optimized a STAR graph around the
+            # warm-up frame — a topology on which Gauss-Newton's depth
+            # block is genuinely ill-conditioned (verified: the
+            # reference's own python BA collapses depths on the star
+            # graph and is healthy on the full graph; the okq_prefix
+            # cap-crowding "accidental regularizer" of r3/r4 was
+            # compensating for the wrong graph, not for a BA defect).
+            self.state = self._append(self.state)
+
         if self.n_host == self.WARMUP and not self.is_initialized:
             self.is_initialized = True
             self._init_counter = self.counter
-            self.state = self._append(self.state)
-            for _ in range(12):
+            # optional bootstrap depth-damping schedule (BOOT_LAM0 > the
+            # reference's 1e-4 enables a geometric lambda decay; with the
+            # reference-faithful full warm-up graph the default constant
+            # 1e-4 is healthy, so the schedule ships OFF)
+            lam0 = float(getattr(self.cfg, "BOOT_LAM0", 1e-4))
+            for it in range(12):
+                lam = max(lam0 * (0.35 ** it), 1e-4)
                 self.state = self._update_only(self.state, self.params,
-                                               jnp.int32(1))
+                                               jnp.int32(1),
+                                               jnp.float32(lam))
             self.state = self._retire(self.state)
         elif self.is_initialized:
             # synchronous tracked frame (loop-closure mode)
@@ -331,6 +358,7 @@ class DPVO:
         rows, self._pending = self._pending, []
         if not rows:
             return
+        _t0 = time.perf_counter()
         K = len(rows)
         sig = self._pending_sig
         if K != self._chunk_size:
@@ -367,6 +395,9 @@ class DPVO:
         self.state = self._chunk[sig](
             self.state, self.params, images, intrs, facs, deps, msks)
         self._events_dispatched += K
+        self.perf["dispatch_stage"] = \
+            self.perf.get("dispatch_stage", 0.0) + \
+            (time.perf_counter() - _t0)
 
     # ---------------------------------------------------- log-based replay
     def enable_descriptors(self, vlad):
@@ -391,11 +422,18 @@ class DPVO:
             self.tstamps[n] = c
             n += 1
             if lc is not None:
+                _ti = time.perf_counter()
                 img = self._lc_images.pop(c, None)
                 if img is not None and not isinstance(img, np.ndarray):
                     img = np.asarray(img)     # deferred device fetch
+                _tf = time.perf_counter()
+                self.perf["lc_img_fetch"] = \
+                    self.perf.get("lc_img_fetch", 0.0) + (_tf - _ti)
                 lc.add_descriptor(n - 1, np.asarray(descs[e], np.float32),
                                   img)
+                self.perf["lc_desc_add"] = \
+                    self.perf.get("lc_desc_add", 0.0) + \
+                    (time.perf_counter() - _tf)
             removed, dP, nan_flag = rows[e, 0], rows[e, 1:8], rows[e, 9]
             if removed > 0.5:
                 k = n - self.cfg.KEYFRAME_INDEX
@@ -404,7 +442,11 @@ class DPVO:
                 self.tstamps[k:n - 1] = self.tstamps[k + 1:n].copy()
                 n -= 1
                 if lc is not None:
+                    _tk = time.perf_counter()
                     lc.keyframe(k)
+                    self.perf["lc_evict"] = \
+                        self.perf.get("lc_evict", 0.0) + \
+                        (time.perf_counter() - _tk)
             if nan_flag > 0.5:
                 print(f"WARNING: NaN pose detected near input frame {c}")
         self.n_host = n
@@ -416,6 +458,7 @@ class DPVO:
         copy requested one interval ago (long since materialized), then
         attempt loop closures. One non-blocking transfer per interval
         replaces the reference's per-frame retrieval round trips."""
+        t0 = time.perf_counter()
         lo = self._lc_req_lo
         log_rows, desc_rows = self._slice_logs(
             self.state.log, self.state.desc_log, jnp.int32(lo))
@@ -424,15 +467,42 @@ class DPVO:
                 a.copy_to_host_async()
             except Exception:       # older jax / non-addressable arrays
                 pass
+        # pipeline the interval's IMAGES the same way: demo-path frames
+        # arrive device-staged (Prefetcher device_upload=True), and a
+        # blocking device->host fetch at replay time costs ~80 ms/frame
+        # through the relay (measured r5 — this was the entire r4
+        # "LC-mode bench gap"). Requesting the async copy one interval
+        # ahead hides the transfer under device compute.
+        if self._init_counter is not None:
+            for e in range(self.cfg.LC_INTERVAL):
+                img = self._lc_images.get(self._init_counter + lo + e)
+                if img is not None and not isinstance(img, np.ndarray):
+                    try:
+                        img.copy_to_host_async()
+                    except Exception:
+                        pass
         prev = self._lc_pending
         self._lc_pending = (lo, log_rows, desc_rows)
         self._lc_req_lo = lo + self.cfg.LC_INTERVAL
+        t1 = time.perf_counter()
+        self.perf["lc_slice_dispatch"] = \
+            self.perf.get("lc_slice_dispatch", 0.0) + (t1 - t0)
 
         if prev is not None:
             plo, prows, pdescs = prev
-            self._replay_events(np.asarray(prows), np.asarray(pdescs), plo)
+            prows, pdescs = np.asarray(prows), np.asarray(pdescs)
+            t2 = time.perf_counter()
+            self.perf["lc_log_fetch"] = \
+                self.perf.get("lc_log_fetch", 0.0) + (t2 - t1)
+            self._replay_events(prows, pdescs, plo)
+            t3 = time.perf_counter()
+            self.perf["lc_replay_ingest"] = \
+                self.perf.get("lc_replay_ingest", 0.0) + (t3 - t2)
             if self.loop_closure is not None:
                 self.loop_closure.attempt_loop_closure(self.n_host)
+                self.perf["lc_attempt"] = \
+                    self.perf.get("lc_attempt", 0.0) + \
+                    (time.perf_counter() - t3)
 
     def _lc_flush(self):
         """Consume the in-flight chunk and any unrequested tail (terminate

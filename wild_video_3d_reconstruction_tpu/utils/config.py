@@ -91,6 +91,14 @@ class DPVOConfig:
     # edge-prefix tier count for O(E) stages (1 disables the lax.cond
     # tiering; each tier duplicates the traced region -> compile time)
     EDGE_TIERS: int = 2
+    # per-GN-iteration trust region on the inverse-depth step (r5); 0
+    # disables (exact reference semantics). See
+    # ba/gauss_newton.BAConfig.depth_step_clamp for the rationale.
+    DEPTH_STEP_CLAMP: float = 1.0
+    # initial depth damping for the 12-iteration bootstrap's geometric
+    # lambda decay (0.35^k, floored at the reference's 1e-4); the default
+    # equals the reference constant, i.e. no schedule
+    BOOT_LAM0: float = 1e-4
     # path to an hloc NetVLAD torch checkpoint (VGG16+NetVLAD+whitening);
     # empty -> weight-free VLAD over VO features
     NETVLAD_CHECKPOINT: str = ""
@@ -108,6 +116,15 @@ class DPVOConfig:
     # reference hard-codes 2.0, `long_term.py:134`; the achievable floor
     # scales with VO pose error and image resolution)
     LOOP_RESID_THRESH: float = 2.0
+    # closure benefit gate (r5, beyond the reference): apply a verified
+    # Sim(3) closure only when the implied correction exceeds this
+    # fraction of the loop's camera path length (translation) or this
+    # log-scale magnitude; smaller corrections mean the map already
+    # agrees with the measurement and a rescale would only redistribute
+    # error (the r4 soak measured net-harmful closures at good VO
+    # quality). 0 disables (reference behavior: inlier count only,
+    # `long_term.py:246-250`).
+    LOOP_DRIFT_GATE: float = 0.02
 
     def merge_from_file(self, path):
         import yaml
