@@ -266,7 +266,7 @@ def run_breakdown(config, chunk, fused, frames, intr, buffer, n_feed=40,
     # the prefix tier update_op will engage for this state (mirrors
     # steps._run_tiered's fracs)
     n_tiers = getattr(cfg, "EDGE_TIERS", 2)
-    fracs = {2: (40, 100), 3: (30, 40, 100)}.get(n_tiers, (40, 100))
+    fracs = {2: (40, 100), 3: (33, 45, 100)}.get(n_tiers, (40, 100))
     tiers = sorted({min((E_cap * f // 100 + 1023) // 1024 * 1024, E_cap)
                     for f in fracs})
     T = next((t for t in tiers if n_edges + 1 <= t), E_cap)

@@ -282,6 +282,13 @@ def _gn_iteration(poses, patches, intr, target, weight, lam, ii, jj, kk,
     diag = jnp.diag_indices(6 * W_)
     S = S.at[diag].add(cfg.lm * S[diag] + cfg.ep)
 
+    # r5 measured: the [72,72] cho_factor+cho_solve chain costs ~0.11 ms
+    # IN-PROGRAM on v5e (an 8-deep dependent chain runs in 0.85 ms — the
+    # earlier "1.5 ms Cholesky latency" readings were the ~0.87 ms
+    # per-dispatch relay floor, not the solve). A single-kernel Pallas
+    # Cholesky (`ops.pallas_chol.chol_solve_small`, kept + tested) times
+    # EQUAL (0.12 ms/solve in-chain) — there is nothing to win here; the
+    # scipy path stays.
     L = jax.scipy.linalg.cho_factor(S, lower=True)
     dX = jax.scipy.linalg.cho_solve(L, y)                      # [6W]
     # Cholesky failure containment: a singular/indefinite S yields NaNs in

@@ -227,6 +227,81 @@ def _corr_fused_kernel4(meta_ref, origin_ref, offs_ref, g_ref, fmap_ref,
                 axis=2)                                  # [ech, P16, 64]
 
 
+def _extract_kernel4(offs_ref, surf_ref, out_ref):
+    """Standalone window extraction + bilinear blend for x16 surfaces.
+
+    Input: surf [SB, P16, RN4] bf16 (flat lane = y*16 + x) as written by
+    `_corr_kernel4`; offs [SB, P16, 8] fp32 (lanes: rel_y, rel_x, fx, fy).
+    Output: blended windows [SB, P16, 64] bf16, lane = wy*8 + wx (wy/wx = 7
+    hold blend wrap garbage the caller slices off).
+
+    This is the v5 fused kernel's phase 2 EXTRACTED into its own pipelined
+    kernel: the fused variant lost (53.7 vs 28.3 ms) because its selection
+    passes serialize behind the per-edge matmul loop inside one grid step,
+    while the XLA masked-shift passes lose to layout/fusion overheads the
+    measured numbers put at ~4x the stream cost. Here the whole block is
+    processed in one vectorized pass chain (no per-chunk loop) while the
+    grid pipeline overlaps the surface DMAs.
+    """
+    S3 = surf_ref[:]                                 # [SB, P16, 256]
+    offs = offs_ref[:]                               # [SB, P16, 8]
+    rely = offs[:, :, 0:1]
+    fxi = offs[:, :, 1:2]
+    fx = offs[:, :, 2:3]
+    fy = offs[:, :, 3:4]
+    SB = S3.shape[0]
+    z16 = jnp.zeros((SB, P16, 16), jnp.bfloat16)
+    # y-window selection: lane wy*16+x <- lane (rely+wy)*16+x
+    t = jnp.zeros((SB, P16, 128), jnp.bfloat16)
+    for s in range(RSH - 8 + 1):
+        t = t + jnp.where(rely == s, S3[:, :, RSW4 * s:RSW4 * s + 128], 0)
+    # x fine shift: lane wy*16+v <- lane wy*16+v+f (v+f <= 15 in-row)
+    tp = jnp.concatenate([t, z16], axis=2)
+    t = jnp.zeros((SB, P16, 128), jnp.bfloat16)
+    for f in range(RSW4 - 8 + 1):
+        t = t + jnp.where(fxi == f, tp[:, :, f:f + 128], 0)
+    # bilinear blend of the four integer shifts (fp32)
+    t32 = t.astype(jnp.float32)
+    tpad = jnp.concatenate(
+        [t32, jnp.zeros((SB, P16, 32), jnp.float32)], axis=2)
+    out = ((1 - fx) * (1 - fy) * t32
+           + fx * (1 - fy) * tpad[:, :, 1:129]
+           + (1 - fx) * fy * tpad[:, :, 16:144]
+           + fx * fy * tpad[:, :, 17:145])
+    outb = out.astype(jnp.bfloat16)
+    out_ref[:] = jnp.concatenate(
+        [outb[:, :, 16 * wy:16 * wy + 8] for wy in range(8)],
+        axis=2)                                      # [SB, P16, 64]
+
+
+def _extract_windows4(surf, offs, n_slots):
+    """Launch `_extract_kernel4` over slot blocks.
+
+    surf: [n_slots, P2, RN4] bf16 (as `_surfaces4` returns);
+    offs: [n_slots, P16, 8] fp32. Returns [n_slots, P16, 64] bf16.
+    """
+    SB = 128 if n_slots % 128 == 0 else 32
+    # pad the pixel dim to the P16 sublane tile once here so the kernel's
+    # flat-lane passes see full tiles (the surfaces kernel stores P2 rows)
+    surf16 = jnp.concatenate(
+        [surf, jnp.zeros((n_slots, P16 - P2, RN4), surf.dtype)], axis=1)
+    return pl.pallas_call(
+        _extract_kernel4,
+        grid=(n_slots // SB,),
+        in_specs=[
+            pl.BlockSpec((SB, P16, 8), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, P16, RN4), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SB, P16, 64), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_slots, P16, 64), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(40e6)),
+    )(offs, surf16)
+
+
 def _surfaces_fused4(fmap_pad, block_meta, origin, offs, g, n_slots):
     """Run the fused x16 kernel; returns blended windows
     [n_slots, P16, 64] bf16, lane = wy*8 + wx (wy/wx = 7 garbage)."""
@@ -722,14 +797,25 @@ def _pallas_corr_level(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
 
 
 def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
-                        fused=False):
+                        fused=False, extract="xla", rel_bound=RSH - 8):
     """v4: one pyramid level with exact-x 16-column regions (RN4 = 256).
 
     Same contract as `_pallas_corr_level` (slot-ordered [n_slots, P2, 7, 7]
     fp32, zero outside image/region) but the surface is half the size and
     the extraction needs only 9 x-shift + 9 y-shift passes. The x spread
     bound is a uniform 8 px (see _corr_kernel4 note). fused=True runs the
-    v5 kernel (in-kernel extraction + blend, `_corr_fused_kernel4`)."""
+    v5 kernel (in-kernel extraction + blend, `_corr_fused_kernel4`);
+    extract="pallas" keeps the surfaces kernel but runs the window
+    selection + blend in the standalone `_extract_kernel4`.
+
+    rel_bound < RSH-8 trims the XLA selection to rel offsets in
+    [0, rel_bound] per axis (passes: rel_bound+1 each). The /4 pyramid
+    level uses bound 3: a patch whose level-1 floors fit the 8-px region
+    has real spread < 9 px, i.e. < 2.25 px at /4, i.e. floor spread <= 3
+    — so the trim only zeroes pixels of edges that ALSO flag `fits` at
+    this level (inimg & ~fits -> clip_e), which the hybrid fallback
+    repairs under the existing approximation contract. Saves 10 of 18
+    selection passes on the level (r5)."""
     E = coords_e.shape[0]
     F, H, W, C = fmap.shape
     slot_edge, slot_of_edge, block_meta = bucketing
@@ -743,6 +829,15 @@ def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
     # the last aligned load origin (Wp - RSW rounded down), where
     # pltpu.roll wraps and emits garbage columns that still pass `fits`.
     pad_w = max(PAD, RSW - (W + PAD))
+    rb = min(rel_bound, RSH - 8)
+    if rb < RSH - 8:
+        # trimmed levels: the far-edge origin clamp (oy/ox clipped to
+        # Hp-RSH / Wp-RSW4) can push rel to 8 even for tiny spreads. Pad
+        # 8 more so every CONTENT-overlapping window's unclamped origin
+        # stays in range (min_y <= PAD+H <= Hp-RSH); windows past the
+        # content are all-zero, so trimming them is exact.
+        pad_h += 8
+        pad_w += 8
     pad_w += -(W + PAD + pad_w) % 16
     fmap_pad = jnp.pad(fmap, ((0, 0), (PAD, pad_h), (PAD, pad_w), (0, 0)))
     Hp = H + PAD + pad_h
@@ -762,14 +857,14 @@ def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
     # (out-of-image zeros are EXACT — the CUDA kernel samples zero
     # padding too). Only fits&inimg pixels produce output; inimg&~fits
     # pixels are the approximation loss the hybrid fallback repairs.
-    fits = ((rel_y >= 0) & (rel_y <= RSH - 8) &
-            (rel_x >= 0) & (rel_x <= RSW4 - 8))
+    fits = ((rel_y >= 0) & (rel_y <= rb) &
+            (rel_x >= 0) & (rel_x <= rb))
     inimg = ((ystart >= 0) & (xstart >= 0) &
              (ystart <= Hp - 8) & (xstart <= Wp - 8))
     in_region = fits & inimg
     clip_e = jnp.any(inimg & ~fits, axis=1)        # [E]
-    rel_y = jnp.clip(rel_y, 0, RSH - 8)
-    rel_x = jnp.clip(rel_x, 0, RSW4 - 8)
+    rel_y = jnp.clip(rel_y, 0, rb)
+    rel_x = jnp.clip(rel_x, 0, rb)
 
     # kernel loads an aligned 32-column tile and slices 16 at phase r
     # (lax.dynamic_slice clamps r to RSW - RSW4, which is exactly right
@@ -812,6 +907,33 @@ def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
                       origin[slot_edge],
                       gmap_slots,
                       n_slots)                         # [n_slots, P2, RN4]
+
+    if extract == "pallas":
+        fy = (coords_e[..., 1] - jnp.floor(coords_e[..., 1])).reshape(E, P2)
+        fx = (coords_e[..., 0] - jnp.floor(coords_e[..., 0])).reshape(E, P2)
+
+        def to_slots16(a, fill=0):
+            a_p = jnp.concatenate(
+                [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+            a_s = a_p[slot_edge]                        # [n_slots, P2]
+            pad = jnp.zeros((n_slots, P16 - P2), a.dtype)
+            return jnp.concatenate([a_s, pad], axis=1)
+
+        offs = jnp.stack([
+            to_slots16(rel_y.astype(jnp.float32)),
+            to_slots16(rel_x.astype(jnp.float32)),
+            to_slots16(fx.astype(jnp.float32)),
+            to_slots16(fy.astype(jnp.float32)),
+            jnp.zeros((n_slots, P16), jnp.float32),
+            jnp.zeros((n_slots, P16), jnp.float32),
+            jnp.zeros((n_slots, P16), jnp.float32),
+            jnp.zeros((n_slots, P16), jnp.float32)], axis=-1)
+        win = _extract_windows4(surf, offs, n_slots)   # [n_slots, P16, 64]
+        out = win[:, :P2].reshape(n_slots, P2, 8, 8)[:, :, :7, :7] \
+            .astype(jnp.float32)
+        inreg = to_slots16(in_region.astype(jnp.float32))[:, :P2]
+        return out * inreg[:, :, None, None], clip_e
+
     surf = surf.reshape(n_slots, P2, RSH, RSW4)
 
     def to_slots(a, fill=0):
@@ -840,12 +962,12 @@ def _pallas_corr_level4(gmap_slots, fmap, coords_e, jj, n_slots, bucketing,
     # and the v5 fused kernel (extraction in VMEM, `_corr_fused_kernel4`)
     # measured 53.7 vs 28.3 ms. Do not retry either without new evidence.
     t2 = jnp.zeros((n_slots, P2, RSH, 8), jnp.bfloat16)
-    for f in range(RSW4 - 8 + 1):
+    for f in range(rb + 1):
         m = (rel_x_s == f)[:, :, None, None]
         t2 = t2 + jnp.where(m, surf[:, :, :, f:f + 8],
                             0).astype(jnp.bfloat16)
     win = jnp.zeros((n_slots, P2, 8, 8), jnp.float32)
-    for s in range(RSH - 8 + 1):
+    for s in range(rb + 1):
         m = (rel_y_s == s)[:, :, None, None]
         win = win + jnp.where(m, t2[:, :, s:s + 8, :], 0).astype(jnp.float32)
     win = win * in_region_s[:, :, None, None]
@@ -864,14 +986,16 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
                               valid=None, levels=(1, 4), fused=False,
                               variant="x32", hybrid_budget=0,
                               return_clip_count=False,
-                              _surfaces_only=False):
+                              _surfaces_only=False, extract="xla"):
     """Drop-in replacement for `ops.corr.patch_corr_pyramid` (radius 3).
 
     gmap: [Ek, C, P, P]; pyramid: per-level [F, H_l, W_l, C] channel-last;
     coords: [E, P, P, 2] at level-1 scale; kk/jj: [E] indices.
     fused=True runs the fused v3 kernel (in-kernel window extraction + blend).
     variant="x16" uses the v4 exact-x kernel (half-size surfaces, uniform
-    8 px spread bound — see _corr_kernel4).
+    8 px spread bound — see _corr_kernel4). extract="pallas" (x16 only)
+    runs the window selection + bilinear blend in a standalone pipelined
+    kernel (`_extract_kernel4`) instead of XLA masked-shift passes.
     Returns [E, L*(2R+1)^2*P*P] with the reference feature layout.
     """
     assert radius == 3, "kernel is specialized for the reference radius 3"
@@ -947,9 +1071,13 @@ def patch_corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, radius=3,
     for fmap, s in zip(pyramid, levels):
         c = coords.astype(jnp.float32) / s
         if variant == "x16":
+            # coarser pyramid levels inherit a tighter spread bound from
+            # the level-1 fit (real spread < 9 px / s), so their
+            # selection runs fewer passes (see _pallas_corr_level4)
+            rb = RSH - 8 if s <= 1 else min(RSH - 8, int(9 // s) + 1)
             out, clip_e = _pallas_corr_level4(
                 g_slots, fmap.astype(jnp.bfloat16), c, jj, n_slots,
-                bucketing, fused=fused)
+                bucketing, fused=fused, extract=extract, rel_bound=rb)
         else:
             out, clip_e = _pallas_corr_level(
                 g_slots, fmap.astype(jnp.bfloat16), c, jj, n_slots,

@@ -359,16 +359,18 @@ def _run_tiered(n_edges, E_full, body, n_tiers=2):
     # frame's ~2rM rows), so the tiers must cover steady-state live + one
     # frame of appends. Keyframe-heavy regimes (strong retirement) sit
     # near ~20% of the no-eviction capacity, the shipped configs' general
-    # steady state near 40% — and the bench world's steady state (~38-48k
-    # live + 9.6k appends at default config) PEAKS just past 25% of
-    # capacity, which r4 shipped as the tier-0 boundary: long-run windows
-    # oscillated between the 25% tier (11+ FPS) and the 40% tier
-    # (8.1-8.7 FPS) as n_edges crossed 55296. r5 moves tier-0 to 30% so
-    # the whole steady-state band stays in one tier — ~8% more O(E) work
-    # on the lightest frames buys back the 1.6x tier-1 excursions
-    # (sustained == best-window, VERDICT r4 #2). Every tier duplicates
-    # the traced region; compile time is the price.
-    fracs = {2: (40, 100), 3: (30, 40, 100)}.get(n_tiers, (40, 100))
+    # steady state near 40% — and the bench world's steady state PEAKS
+    # just past the r4 25% boundary, which made long-run windows
+    # oscillate between tiers. r5 first moved tier-0 to 30%, but the
+    # MEASURED default-config steady state (retire-compacted 57216 live +
+    # 9600 appends = 66816 at update time) sits 256 rows past the 30%
+    # boundary (66560), silently running EVERY frame at the 40% tier
+    # (124 vs ~105 ms/frame, r5 frame_profile). Tier-0 is now 33%
+    # (73728): the post-append steady-state band fits with ~7k slack,
+    # and sub-peak frames pay ~11% more O(E) work than a 30% tier would
+    # — far cheaper than the 1.33x excursion. Every tier duplicates the
+    # traced region; compile time is the price.
+    fracs = {2: (40, 100), 3: (33, 45, 100)}.get(n_tiers, (40, 100))
     tiers = sorted({min((E_full * f // 100 + 1023) // 1024 * 1024, E_full)
                     for f in fracs})
     fn = body(tiers[-1])
@@ -593,16 +595,24 @@ def flow_metric(cfg, state: SLAMState, i, j):
 def keyframe_shift(cfg, state: SLAMState, retire=True):
     """Evict keyframe k = n - KEYFRAME_INDEX: record its relative pose,
     drop its edges, renumber, and shift every buffer left by one
-    (`dpvo/dpvo.py:611-645`) — implemented as parallel gathers instead of
-    the reference's sequential Python copy loop.
+    (`dpvo/dpvo.py:611-645`).
+
+    The shift only moves the KEYFRAME_INDEX - 1 newest frames (the evicted
+    keyframe sits a fixed distance from the head), so each buffer update
+    is a static-length contiguous slab copy (dynamic_slice out, then
+    dynamic_update_slice one frame earlier) — the r5 profile measured the
+    previous full-buffer index-map gathers at 13.9 ms/frame at default
+    config (whole-capacity rows streamed + small-row gather overhead) for
+    what is ~15 MB of actual slab movement.
 
     Returns (state', dP[7]) where dP = pose_k * pose_{k-1}^-1 is the delta
     the host records for trajectory completion.
     """
     M = cfg.PATCHES_PER_FRAME
     pmem = cfg.pmem
+    KI = cfg.KEYFRAME_INDEX              # static
     n = state.n_frames
-    k = n - cfg.KEYFRAME_INDEX
+    k = n - KI
 
     dP = lie.se3_mul(state.poses[k], lie.se3_inv(state.poses[k - 1]))
 
@@ -612,40 +622,36 @@ def keyframe_shift(cfg, state: SLAMState, retire=True):
     ii = jnp.where(state.ii > k, state.ii - 1, state.ii)
     jj = jnp.where(state.jj > k, state.jj - 1, state.jj)
 
-    # shift per-frame buffers [k .. n-2] <- [k+1 .. n-1]
-    N = state.poses.shape[0]
-    fidx = jnp.arange(N, dtype=jnp.int32)
-    src_f = jnp.where((fidx >= k) & (fidx < n - 1), fidx + 1, fidx)
-    src_f = jnp.clip(src_f, 0, N - 1)
+    # frame-indexed buffers: rows [k .. n-2] <- [k+1 .. n-1] as ONE slab
+    # (length KI - 1 frames, static; the slice materializes before the
+    # overlapping write)
+    def shift_rows(a, per_frame):
+        slab = jax.lax.dynamic_slice_in_dim(
+            a, (k + 1) * per_frame, (KI - 1) * per_frame, 0)
+        return jax.lax.dynamic_update_slice_in_dim(a, slab, k * per_frame, 0)
 
-    pidx = jnp.arange(state.patches.shape[0], dtype=jnp.int32)
-    src_p = jnp.where((pidx >= k * M) & (pidx < (n - 1) * M), pidx + M, pidx)
-    src_p = jnp.clip(src_p, 0, state.patches.shape[0] - 1)
-
-    # ring buffers: slot (i % pmem) <- slot ((i+1) % pmem) for i in [k, n-1)
-    ridx = jnp.arange(pmem, dtype=jnp.int32)
-    # find whether this ring slot holds some frame i in [k, n-1): the live
-    # frames occupying the ring are (n - pmem, n]; map slot -> frame id
-    # i with i % pmem == slot and n - pmem <= i < n
-    i_of_slot = n - 1 - jnp.mod(n - 1 - ridx, pmem)
-    shift_r = (i_of_slot >= k) & (i_of_slot < n - 1)
-    src_r = jnp.where(shift_r, jnp.mod(i_of_slot + 1, pmem), ridx)
-
-    rpidx = jnp.arange(pmem * M, dtype=jnp.int32)
-    rslot = rpidx // M
-    src_rp = jnp.where(shift_r[rslot], jnp.mod(i_of_slot[rslot] + 1, pmem)
-                       * M + rpidx % M, rpidx)
+    # ring buffers: slot (i % pmem) <- slot ((i+1) % pmem) for
+    # i = k .. n-2 ascending (each source is read before iteration i+1
+    # overwrites it; KI - 1 static iterations)
+    def shift_ring(a, per_slot):
+        for i in range(KI - 1):
+            fi = k + i
+            src = jnp.mod(fi + 1, pmem) * per_slot
+            dst = jnp.mod(fi, pmem) * per_slot
+            slab = jax.lax.dynamic_slice_in_dim(a, src, per_slot, 0)
+            a = jax.lax.dynamic_update_slice_in_dim(a, slab, dst, 0)
+        return a
 
     state = state._replace(
-        poses=state.poses[src_f],
-        patches=state.patches[src_p],
-        patches_est=state.patches_est[src_p],
-        intrinsics=state.intrinsics[src_f],
-        colors=state.colors[src_f],
-        imap=state.imap[src_rp],
-        gmap=state.gmap[src_rp],
-        fmap1=state.fmap1[src_r],
-        fmap2=state.fmap2[src_r],
+        poses=shift_rows(state.poses, 1),
+        patches=shift_rows(state.patches, M),
+        patches_est=shift_rows(state.patches_est, M),
+        intrinsics=shift_rows(state.intrinsics, 1),
+        colors=shift_rows(state.colors, 1),
+        imap=shift_ring(state.imap, M),
+        gmap=shift_ring(state.gmap, M),
+        fmap1=shift_ring(state.fmap1, 1),
+        fmap2=shift_ring(state.fmap2, 1),
         ii=ii, jj=jj, kk=kk, valid=valid,
         n_frames=n - 1,
     )
