@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..ops.segment import (segment_softmax_weighted_sum,
                            segment_softmax_weighted_sum_dense,
+                           segment_softmax_weighted_sum_runsum,
                            segment_softmax_weighted_sum_table)
 from .layers import (gradient_clip, init_layer_norm, init_linear, layer_norm,
                      linear)
@@ -52,19 +53,25 @@ def _gated_residual(params, x):
     return x + gate * res
 
 
-def _soft_agg(params, x, seg_ids, num_segments, valid, table=None):
+def _soft_agg(params, x, seg_ids, num_segments, valid, table=None,
+              order=None):
     """SoftAgg (`dpvo/blocks.py:31-48`) with bounded segment ids.
 
     Uses the one-hot-matmul formulation when the segment count is modest
     (always true for the frame-pair groups) — TPU scatters are an order
     of magnitude slower than the equivalent MXU matmuls. For large
-    segment counts (the per-patch groups at big configs), a precomputed
-    [S, cap] member table turns every reduction into a dense axis
-    reduction (`segment_softmax_weighted_sum_table`); the scatter
-    formulation remains the fallback."""
+    segment counts (the per-patch groups at big configs): with a
+    precomputed segment sort (`order`, the okq_prefix BA table order)
+    the reduction runs as banded MXU run-sums
+    (`segment_softmax_weighted_sum_runsum`, r5 — replaces the 5-6 ms
+    scatter floor); otherwise a [S, cap] member table or the scatter
+    formulation."""
     f = linear(params["f"], x)
     g = linear(params["g"], x)
-    if table is not None:
+    if order is not None:
+        y = segment_softmax_weighted_sum_runsum(f, g, seg_ids, num_segments,
+                                                order, valid=valid)
+    elif table is not None:
         y = segment_softmax_weighted_sum_table(f, g, table, seg_ids, valid)
     elif num_segments <= 4096:
         y = segment_softmax_weighted_sum_dense(f, g, seg_ids, num_segments,
@@ -76,7 +83,8 @@ def _soft_agg(params, x, seg_ids, num_segments, valid, table=None):
 
 
 def update_forward(params, net, inp, corr, kk_seg, ij_seg, nbr_ix, nbr_jx,
-                   valid, num_kk_segments, num_ij_segments, kk_table=None):
+                   valid, num_kk_segments, num_ij_segments, kk_table=None,
+                   kk_order=None):
     """One update step over all (padded) edges.
 
     net:   [E, 384] edge hidden state
@@ -99,7 +107,7 @@ def update_forward(params, net, inp, corr, kk_seg, ij_seg, nbr_ix, nbr_jx,
     net = net + _mlp2(params["c2"], mask_jx * net[jnp.clip(nbr_jx, 0, None)])
 
     net = net + _soft_agg(params["agg_kk"], net, kk_seg, num_kk_segments,
-                          valid, table=kk_table)
+                          valid, table=kk_table, order=kk_order)
     net = net + _soft_agg(params["agg_ij"], net, ij_seg, num_ij_segments, valid)
 
     net = layer_norm(params["gru"]["0"], net, eps=1e-3)

@@ -149,6 +149,47 @@ def segment_softmax_weighted_sum_table(f, g, table, seg_ids, valid):
     return y_seg[sid].astype(dtype)
 
 
+def segment_softmax_weighted_sum_runsum(f, g, seg_ids, num_segments, order,
+                                        valid=None):
+    """SoftAgg reduction as banded MXU run-sums over a precomputed sort.
+
+    order: [E] stable argsort by where(member, seg_id, num_segments) —
+    the okq_prefix BA table order `slam.steps.update_op` already holds
+    (no extra sort). Valid rows of every segment are contiguous runs
+    under it, bounded by the per-patch edge cap (< ops.pallas_segsum.OV
+    rows), so the scatter-add becomes one banded one-hot matmul per row
+    block (`run_segment_sum_sorted`) whose output is simultaneously the
+    segment total and the per-row expansion. Costs two [E, 2D] gathers
+    (sort + unsort) plus the banded matmul — measured vs the 5-6 ms
+    scatter floor at default-config tiers on v5e (r5).
+
+    Numerically the per-channel GLOBAL max stabilization of
+    `segment_softmax_weighted_sum` with fp32 accumulation (MXU,
+    preferred_element_type=fp32) — pinned equal in tests.
+    """
+    dtype = f.dtype
+    E, D = f.shape
+    if valid is None:
+        valid = jnp.ones((E,), bool)
+    g32 = g.astype(jnp.float32)
+    g32 = jnp.where(valid[:, None], g32, -jnp.inf)
+    gmax = jnp.max(g32, axis=0)
+    gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+    e = jnp.where(valid[:, None], jnp.exp(g32 - gmax), 0.0)
+    fe = jnp.concatenate([f.astype(jnp.float32) * e, e], axis=1)  # [E, 2D]
+
+    key = jnp.where(valid & (seg_ids < num_segments), seg_ids,
+                    num_segments).astype(jnp.int32)
+    from .pallas_segsum import run_segment_sum_sorted
+    acc_sorted = run_segment_sum_sorted(fe[order], key[order])
+    inv = jnp.zeros((E,), jnp.int32).at[order].set(
+        jnp.arange(E, dtype=jnp.int32))
+    acc_e = acc_sorted[inv]                                       # [E, 2D]
+    y = acc_e[:, :D] / jnp.maximum(acc_e[:, D:], 1e-12)
+    y = jnp.where(valid[:, None], y, 0.0)
+    return y.astype(dtype)
+
+
 def neighbors(kk, jj, valid=None, pad_value=-1, order=None):
     """Previous/next edge indices within each patch group, ordered by jj.
 

@@ -166,14 +166,16 @@ def insert_frame(cfg, params, state: SLAMState, image, intrinsics, key, fac,
 # ---------------------------------------------------------------------------
 
 def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n,
-                    order=None, kk_table=None, nbr=None):
+                    order=None, kk_table=None, nbr=None, agg_order=None):
     """reproject -> correlate -> update operator. Returns
     (net', delta, weight, coords). order: optional shared stable ordering
     by (invalid, kk) for the neighbor links; kk_table: optional [S, cap]
     per-patch member table reused for the SoftAgg patch groups; nbr:
     optional precomputed (nbr_ix, nbr_jx) — update_op derives them from
     the BA patch table (ops.segment.neighbors_from_table), replacing the
-    neighbor argsort."""
+    neighbor argsort; agg_order: optional segment sort (the okq_prefix
+    table order) routing the kk-SoftAgg through the banded MXU run-sum
+    kernel instead of the scatter path (ops.pallas_segsum)."""
     M = cfg.PATCHES_PER_FRAME
     pmem = cfg.pmem
     fd = _feat_dtype(cfg)
@@ -218,7 +220,8 @@ def _run_update_net(cfg, params, state: SLAMState, net, ii, jj, kk, valid, n,
     net2, delta, weight = update_forward(
         params["update"], net.astype(fd), ctx.astype(fd), corr.astype(fd),
         kk_seg, ij_seg, nbr_ix, nbr_jx, valid,
-        cfg.patch_slots + 1, (FW + 1) * (FW + 1) + 1, kk_table=kk_table)
+        cfg.patch_slots + 1, (FW + 1) * (FW + 1) + 1, kk_table=kk_table,
+        kk_order=agg_order)
     return net2, delta, weight, coords
 
 
@@ -467,6 +470,7 @@ def update_op(cfg, params, state: SLAMState, t0, lam=None):
             # deterministic in steady state.
             nbr = None
             order = None
+            agg_order = None
             if _BA_TABLE_MODE == "okv":
                 order = jnp.argsort(
                     jnp.where(okv, kk_sl, jnp.int32(1 << 30)), stable=True)
@@ -493,6 +497,12 @@ def update_op(cfg, params, state: SLAMState, t0, lam=None):
                 nbr = neighbors_from_sorted(order_t, key[order_t],
                                             valid_sl[order_t],
                                             cfg.patch_slots)
+                # same sort routes the kk-SoftAgg through the banded MXU
+                # run-sum kernel (r5): valid rows of a patch are
+                # contiguous under order_t and bounded by the per-patch
+                # cap, so the 5-6 ms scatter becomes block matmuls
+                if n_rows % 512 == 0 and jax.default_backend() != "cpu":
+                    agg_order = order_t
             else:
                 table = _group_by_patch(q, okq, cfg.patch_slots,
                                         ba_cfg.per_patch_cap)
@@ -503,7 +513,8 @@ def update_op(cfg, params, state: SLAMState, t0, lam=None):
             # gathers beat scatter-adds
             net2, delta, weight, coords = _run_update_net(
                 cfg, params, state, state.net[sl], state.ii[sl],
-                state.jj[sl], kk_sl, valid_sl, n, order=order, nbr=nbr)
+                state.jj[sl], kk_sl, valid_sl, n, order=order, nbr=nbr,
+                agg_order=agg_order)
             target = coords[:, P // 2, P // 2, :].astype(jnp.float32) + \
                 delta.astype(jnp.float32)
             weight = weight.astype(jnp.float32) * \
