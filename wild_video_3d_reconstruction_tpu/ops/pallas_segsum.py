@@ -47,8 +47,12 @@ def _runsum_kernel(seg_h_ref, seg_m_ref, seg_t_ref, fes_h_ref, fes_m_ref,
     seg_w = jnp.concatenate([seg_h_ref[:], seg_m_ref[:], seg_t_ref[:]],
                             axis=0)                     # [R + 2*OV, 1]
     w_ids = jax.lax.broadcasted_iota(jnp.int32, (R + 2 * OV, 1), 0)
-    w_ok = jnp.where(b == 0, w_ids >= OV, jnp.ones_like(w_ids, bool))
-    w_ok = jnp.where(b == nb - 1, w_ids < OV + R, w_ok)
+    # scalar-arithmetic bounds (a vector-i1 select here fails to legalize
+    # in some Mosaic toolchains: "arith.select on vector<8x128xi1>")
+    lo = jnp.int32(OV) * (b == 0).astype(jnp.int32)
+    hi = jnp.int32(R + 2 * OV) - \
+        jnp.int32(OV) * (b == nb - 1).astype(jnp.int32)
+    w_ok = (w_ids >= lo) & (w_ids < hi)
     seg_w = jnp.where(w_ok, seg_w, jnp.int32(-1))       # -1 never matches
 
     # seg of the main rows as a lane row [1, R] (diagonal mask-reduce —
