@@ -10,17 +10,23 @@ the real TPU is exercised by bench.py and the driver only.
 
 import os
 
+# WV3D_TEST_TPU=1 keeps the real device backend so `-m device_kernel`
+# tests (compiled-Pallas checks) can run on hardware; default is the
+# virtual CPU mesh.
+_USE_TPU = os.environ.get("WV3D_TEST_TPU") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.devices()[0].platform == "cpu"
-assert len(jax.devices()) == 8, jax.devices()
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8, jax.devices()
 
 
 # ---------------------------------------------------------------------------

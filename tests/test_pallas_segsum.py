@@ -21,7 +21,10 @@ from wild_video_3d_reconstruction_tpu.ops.segment import (
 
 
 @pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
+def _interpret_mode(request, monkeypatch):
+    if "device_kernel" in request.keywords:
+        yield                       # compiled-kernel test: no interpret
+        return
     orig = pallas_segsum.pl.pallas_call
     monkeypatch.setattr(pallas_segsum.pl, "pallas_call",
                         functools.partial(orig, interpret=True))
@@ -59,6 +62,33 @@ def test_runsum_matches_scatter(seed):
                                               valid=valid)
     ref = np.where(np.asarray(valid)[:, None], np.asarray(ref), 0.0)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.device_kernel
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="compiled-kernel check needs a TPU backend")
+def test_runsum_device_compiles_and_matches():
+    """Compiled (non-interpret) kernel on the device backend.
+
+    Pins two things the interpret-mode tests cannot: (a) Mosaic
+    legalization of the kernel (a toolchain update rejected the former
+    bool-operand vector select, r5), and (b) the device accuracy floor —
+    the one-hot matmul rounds operands to bf16 on current toolchains, so
+    the tolerance here is relative ~2^-8, not exact."""
+    rng = np.random.default_rng(0)
+    RB = pallas_segsum.RB
+    E, D = 2 * RB, 384
+    lens = rng.integers(1, 28, size=E)
+    ids = np.repeat(np.arange(len(lens)), lens)[:E]
+    ids.sort()
+    fes = rng.normal(size=(E, D)).astype(np.float32)
+    out = np.asarray(jax.jit(pallas_segsum.run_segment_sum_sorted)(
+        jnp.asarray(fes), jnp.asarray(ids)))
+    ref = np.asarray(jax.ops.segment_sum(
+        jnp.asarray(fes), jnp.asarray(ids),
+        num_segments=int(ids.max()) + 1))[ids]
+    scale = np.maximum(np.abs(ref), 1.0)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=2e-2)
 
 
 def test_runsum_boundary_runs():
